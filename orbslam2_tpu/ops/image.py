@@ -1,0 +1,87 @@
+"""Image ops: scale pyramid and Gaussian blur.
+
+Replaces ``ORBextractor::ComputePyramid`` (src/ORBextractor.cc:921) and the
+pre-descriptor ``GaussianBlur(…, Size(7,7), 2, 2)`` (src/ORBextractor.cc:900).
+Everything is static-shape: per-level image sizes are Python ints derived
+from the config, so XLA compiles one fused program per pyramid level.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float
+                   ) -> List[Tuple[int, int]]:
+    """Static (H, W) per level — level l scaled by 1/scale_factor**l."""
+    return [(int(round(h / scale_factor ** l)), int(round(w / scale_factor ** l)))
+            for l in range(n_levels)]
+
+
+def build_pyramid(img: jax.Array, n_levels: int, scale_factor: float
+                  ) -> List[jax.Array]:
+    """[H, W] float32 → list of n_levels arrays, level 0 = input.
+
+    Resizes each level from the previous one with bilinear interpolation,
+    mirroring the reference's level-chained cv::resize(INTER_LINEAR).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
+    out = [img]
+    for l in range(1, n_levels):
+        prev = out[-1]
+        out.append(jax.image.resize(prev, img.shape[:-2] + shapes[l],
+                                    method="linear", antialias=False))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0
+                  ) -> jax.Array:
+    """Separable Gaussian blur with reflect-101 (OpenCV default) borders.
+
+    [..., H, W] → same shape.  Two 1-D convolutions — XLA fuses these and
+    they stream straight through the VPU; a 7×7 direct conv would be 3.5×
+    the FLOPs for no benefit.
+    """
+    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    r = ksize // 2
+    batch_shape = img.shape[:-2]
+    h, w = img.shape[-2], img.shape[-1]
+    x = img.reshape((-1, 1, h, w))
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        xp, k.reshape(1, 1, ksize, 1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        xp, k.reshape(1, 1, 1, ksize), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x.reshape(batch_shape + (h, w))
+
+
+def to_grayscale(img: jax.Array, rgb_order: bool = True) -> jax.Array:
+    """[..., H, W, 3] uint8/float → [..., H, W] float32 grayscale.
+
+    Matches cv::cvtColor's BT.601 weights used by Tracking::GrabImage*
+    (src/Tracking.cc:269-294).
+    """
+    img = img.astype(jnp.float32)
+    if img.ndim >= 3 and img.shape[-1] == 3:
+        w = (0.299, 0.587, 0.114) if rgb_order else (0.114, 0.587, 0.299)
+        return (img[..., 0] * w[0] + img[..., 1] * w[1] + img[..., 2] * w[2])
+    return img
