@@ -126,6 +126,7 @@ def search_by_projection(
     check_ur: bool = False,
     level_lo_off: int = -1,    # candidate level window around predicted
     level_hi_off: int = 1,
+    th_dist: int = TH_HIGH,    # Hamming acceptance (Fuse uses TH_LOW)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ORBmatcher::SearchByProjection frame↔local-map overload
     (src/ORBmatcher.cc:43-135): project each query point, gate keypoints by
@@ -158,7 +159,7 @@ def search_by_projection(
     d = hamming.hamming_matrix(query.desc, kp_desc)
     d = jnp.where(gate, d, hamming.MAX_DIST)
     best, best_idx, second = best_and_second(d)
-    ok = (best <= TH_HIGH) & (best < nn_ratio * second.astype(jnp.float32))
+    ok = (best <= th_dist) & (best < nn_ratio * second.astype(jnp.float32))
     return jnp.where(ok, best_idx, NO_MATCH), best, uv
 
 

@@ -1,0 +1,252 @@
+"""Host-side SLAM engine: wires frontend + tracking + local mapping.
+
+This is the control-plane analogue of ``Tracking::Track`` (Tracking.cc:366)
+plus the LocalMapping loop — the data-dependent decisions (state machine,
+fallbacks, keyframe policy) read back a handful of scalars per frame while
+all array work stays in jitted functions on device.
+
+The reference runs LocalMapping in its own thread with a keyframe queue
+(System.cc:104, LocalMapping.cc:114); here mapping runs synchronously after
+keyframe insertion by default, with the async path provided by
+runtime/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import MONOCULAR, RGBD, STEREO, SlamConfig
+from orbslam2_tpu.models import frame as frame_mod
+from orbslam2_tpu.models import map_state as M
+from orbslam2_tpu.runtime import local_mapping, tracking
+from orbslam2_tpu.utils import lie
+
+
+@dataclasses.dataclass
+class TrajectoryEntry:
+    """Per-frame relative pose record (Tracking.cc:588-605): Tcr = pose
+    relative to the reference keyframe at track time, so trajectory export
+    benefits from later keyframe corrections (System.cc:478-503)."""
+
+    timestamp: float
+    Tcr: np.ndarray
+    ref_kf: int
+    lost: bool
+
+
+class SlamEngine:
+    """Single-process engine for stereo / RGB-D sequences."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        if cfg.sensor == STEREO:
+            self.frontend = frame_mod.make_frontend_stereo(cfg)
+        elif cfg.sensor == RGBD:
+            self.frontend = frame_mod.make_frontend_rgbd(cfg)
+        else:
+            self.frontend = frame_mod.make_frontend_mono(cfg)
+        (self.f_init, self.f_track, self.f_track_ref,
+         self.f_insert_kf, self.f_ref_tracked) = tracking.make_tracking_fns(cfg)
+        (self.f_local_ba, self.f_cull_mp, self.f_cull_kf,
+         self.f_fuse) = local_mapping.make_mapping_fns(cfg)
+
+        self.ms = M.empty_map(cfg)
+        self.state = tracking.NO_IMAGES_YET
+        self.n_kfs = 0
+        self.mp_top = 0               # allocation watermark for MP slots
+        self.frame_id = 0
+        self.last_kf_frame_id = 0
+        self.ref_kf = 0
+        self.velocity: Optional[np.ndarray] = None
+        self.last_Tcw: Optional[np.ndarray] = None
+        self.last_assoc = None        # device [N] int32
+        self.last_inlier = None       # device [N] bool
+        self.trajectory: List[TrajectoryEntry] = []
+        self.ref_kf_tracked = 0       # tracked points in current ref KF
+        self.localization_only = False
+        self.stats = {"kf_inserted": 0, "mp_created": 0, "mp_culled": 0,
+                      "kf_culled": 0, "ba_outliers": 0, "reloc": 0,
+                      "mp_fused": 0}
+
+    # ------------------------------------------------------------ tracking
+    def track_stereo(self, left: np.ndarray, right: np.ndarray,
+                     timestamp: float) -> Optional[np.ndarray]:
+        fd = self.frontend(jnp.asarray(left, jnp.float32),
+                           jnp.asarray(right, jnp.float32))
+        return self._track_common(fd, timestamp)
+
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
+                   timestamp: float) -> Optional[np.ndarray]:
+        fd = self.frontend(jnp.asarray(gray, jnp.float32),
+                           jnp.asarray(depth, jnp.float32))
+        return self._track_common(fd, timestamp)
+
+    def _track_common(self, fd, timestamp: float) -> Optional[np.ndarray]:
+        if self.state in (tracking.NO_IMAGES_YET, tracking.NOT_INITIALIZED):
+            ok = self._initialize(fd, timestamp)
+            self.frame_id += 1
+            return np.asarray(self.last_Tcw) if ok else None
+
+        Tcw_pred = self._predict_pose()
+        res = self.f_track(self.ms, fd, jnp.asarray(Tcw_pred, jnp.float32),
+                           self.last_assoc, self.last_inlier)
+        n_mm = int(res.n_matches_mm)
+        if n_mm < self.cfg.tracking.speedup_matches_threshold:
+            # widen the search window ×2 (Tracking.cc:985-996)
+            res = self.f_track(self.ms, fd,
+                               jnp.asarray(Tcw_pred, jnp.float32),
+                               self.last_assoc, self.last_inlier, wide=True)
+            if int(res.n_matches_mm) < self.cfg.tracking.speedup_matches_threshold2:
+                # motion model failed → reference-KF fallback (Tracking.cc:419)
+                res = self.f_track_ref(
+                    self.ms, fd, jnp.int32(self.ref_kf),
+                    jnp.asarray(self.last_Tcw, jnp.float32))
+
+        n_map_inliers = int(res.n_inliers_map)
+        self.ms = res.ms
+        lost = n_map_inliers < self.cfg.tracking.motion_model_threshold
+        if lost:
+            self.state = tracking.LOST
+            self._record_traj(timestamp, None)
+            self.frame_id += 1
+            return None
+
+        self.state = tracking.OK
+        Tcw = np.asarray(res.Tcw)
+        if self.last_Tcw is not None:
+            self.velocity = Tcw @ np.linalg.inv(self.last_Tcw)
+        self.last_Tcw = Tcw
+        self.last_assoc = res.assoc
+        self.last_inlier = res.inlier
+
+        if not self.localization_only and self._need_new_keyframe(n_map_inliers, fd, res):
+            self._create_keyframe(fd, res, timestamp)
+
+        self._record_traj(timestamp, Tcw)
+        self.frame_id += 1
+        return Tcw
+
+    # -------------------------------------------------------------- stages
+    def _initialize(self, fd, timestamp: float) -> bool:
+        if self.cfg.sensor == MONOCULAR:
+            raise NotImplementedError("monocular init lands with ops/ransac")
+        # reference requires 500 keypoints (Tracking.cc:611); we gate on
+        # usable depth points, which is the binding constraint
+        n_valid = int(jnp.sum((fd.depth > 0) & fd.valid))
+        if n_valid < 50:
+            return False
+        Tcw0 = jnp.eye(4, dtype=jnp.float32)
+        self.ms, assoc, n_pts = self.f_init(
+            self.ms, fd, Tcw0, jnp.int32(self.frame_id),
+            jnp.float32(timestamp))
+        self.n_kfs = 1
+        self.mp_top = fd.n            # init used slots [0, N)
+        self.last_Tcw = np.eye(4, dtype=np.float32)
+        self.last_assoc = assoc
+        self.last_inlier = jnp.ones((fd.n,), bool)
+        self.ref_kf = 0
+        self.state = tracking.OK
+        self.last_kf_frame_id = self.frame_id
+        self.stats["kf_inserted"] += 1
+        self.stats["mp_created"] += int(n_pts)
+        self._record_traj(timestamp, self.last_Tcw)
+        return True
+
+    def _predict_pose(self) -> np.ndarray:
+        if self.velocity is not None:
+            return (self.velocity @ self.last_Tcw).astype(np.float32)
+        return self.last_Tcw.astype(np.float32)
+
+    def _need_new_keyframe(self, n_inliers: int, fd, res) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:1076-1160), with the synchronous-
+        mapping simplification that the mapper is always idle."""
+        t = self.cfg.tracking
+        max_frames = int(self.cfg.camera.fps)
+        frames_since = self.frame_id - self.last_kf_frame_id
+        if self.n_kfs >= self.cfg.capacity.max_keyframes - 1:
+            return False
+        min_obs = 3 if self.n_kfs > 2 else 2
+        ref_matches = int(self.f_ref_tracked(
+            self.ms, jnp.int32(self.ref_kf), jnp.int32(min_obs)))
+        ref_matches = max(ref_matches, 1)
+        # stereo close-point pressure (Tracking.cc:1106-1124)
+        need_close = (int(res.n_tracked_close) < 100
+                      and int(res.n_nontracked_close) > 70)
+        th_ref_ratio = 0.75 if self.cfg.sensor != MONOCULAR else 0.9
+        if self.n_kfs < 2:
+            th_ref_ratio = 0.4
+        c1a = frames_since >= max_frames
+        c1b = frames_since >= t.min_frames        # mapper idle in sync mode
+        c1c = (self.cfg.sensor != MONOCULAR
+               and (n_inliers < ref_matches * 0.25 or need_close))
+        c2 = ((n_inliers < ref_matches * th_ref_ratio or need_close)
+              and n_inliers > 15)
+        return (c1a or c1b or c1c) and c2
+
+    def _create_keyframe(self, fd, res, timestamp: float) -> None:
+        kf_slot = self.n_kfs
+        self.ms, n_new = self.f_insert_kf(
+            self.ms, fd, res.Tcw, res.assoc, jnp.int32(kf_slot),
+            jnp.int32(self.mp_top), jnp.int32(self.ref_kf),
+            jnp.int32(self.frame_id), jnp.float32(timestamp))
+        n_new = int(n_new)
+        self.mp_top = min(self.mp_top + n_new, self.cfg.capacity.max_map_points)
+        self.n_kfs += 1
+        self.ref_kf = kf_slot
+        self.last_kf_frame_id = self.frame_id
+
+        self.stats["kf_inserted"] += 1
+        self.stats["mp_created"] += n_new
+        # refresh tracking association so new points participate immediately
+        self.last_assoc = self.ms.kf_mp[kf_slot]
+        self.last_inlier = jnp.ones_like(self.last_inlier)
+
+        # ---- local mapping (synchronous; LocalMapping::Run order:
+        # cull points → [triangulate] → fuse → local BA → cull KFs) ----
+        self.ms, n_culled = self.f_cull_mp(self.ms, jnp.int32(kf_slot))
+        self.stats["mp_culled"] += int(n_culled)
+        self.ms, n_merged = self.f_fuse(self.ms, jnp.int32(kf_slot))
+        self.stats["mp_fused"] += int(n_merged)
+        if self.n_kfs >= 3:
+            self.ms, n_out = self.f_local_ba(self.ms, jnp.int32(kf_slot))
+            self.stats["ba_outliers"] += int(n_out)
+        if self.n_kfs >= 5:
+            self.ms, culled = self.f_cull_kf(self.ms, jnp.int32(kf_slot))
+            self.stats["kf_culled"] += int(culled)
+        # associations may have been fused away — refresh from the map
+        self.last_assoc = self.ms.kf_mp[kf_slot]
+
+    def _record_traj(self, timestamp: float, Tcw: Optional[np.ndarray]):
+        if Tcw is None:
+            self.trajectory.append(TrajectoryEntry(
+                timestamp, np.eye(4, dtype=np.float32), self.ref_kf, True))
+            return
+        Tref = np.asarray(self.ms.kf_pose[self.ref_kf])
+        Tcr = Tcw @ np.linalg.inv(Tref)
+        self.trajectory.append(TrajectoryEntry(
+            timestamp, Tcr.astype(np.float32), self.ref_kf, False))
+
+    # ------------------------------------------------------------- outputs
+    def frame_poses(self) -> List[Optional[np.ndarray]]:
+        """Reconstruct per-frame camera poses Tcw through the (possibly
+        BA-corrected) reference keyframes (System::SaveTrajectoryTUM,
+        System.cc:478-503)."""
+        kf_pose = np.asarray(self.ms.kf_pose)
+        out = []
+        for e in self.trajectory:
+            if e.lost:
+                out.append(None)
+            else:
+                out.append(e.Tcr @ kf_pose[e.ref_kf])
+        return out
+
+    def map_points(self) -> np.ndarray:
+        """Live map-point cloud (System::GetMap, System.cc:793)."""
+        pos = np.asarray(self.ms.mp_pos)
+        valid = np.asarray(self.ms.mp_valid)
+        return pos[valid]
