@@ -18,6 +18,13 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(v: "jax.Array") -> "jax.Array":
+    """Gradient-safe vector norm: d/dv at v=0 is 0, not NaN.  Lie maps are
+    linearized at the identity (x=0) by the pose-graph/BA solvers, so every
+    θ=‖ω‖ here must differentiate cleanly through zero."""
+    return jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+
+
 # ----------------------------------------------------------------- SO(3) ----
 
 def hat(w: jax.Array) -> jax.Array:
@@ -52,7 +59,7 @@ def _cosc(x: jax.Array) -> jax.Array:
 
 def so3_exp(w: jax.Array) -> jax.Array:
     """Rodrigues: [..., 3] axis-angle → [..., 3, 3] rotation."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     a = _sinc(theta)[..., None, None]
@@ -62,18 +69,20 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """[..., 3, 3] rotation → [..., 3] axis-angle.  Valid for θ < π − ε."""
+    """[..., 3, 3] rotation → [..., 3] axis-angle.  Valid for θ < π − ε.
+
+    atan2 formulation: gradient-safe at θ=0 (arccos'(±1) is infinite and
+    would leak NaN through the unselected where-branch during autodiff)."""
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(θ) * axis
-    # near θ=π, sin→0: recover axis from the symmetric part instead
-    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, None))
+    sin_t = _safe_norm(w)
+    theta = jnp.arctan2(sin_t, cos_t)
     general = w * (theta / jnp.where(sin_t < _EPS, 1.0, sin_t))[..., None]
     small = w  # θ→0: log ≈ vee of the antisymmetric part
     # θ≈π branch: R ≈ I + 2 aaᵀ − ... ; axis from diagonal of (R+I)/2
     B = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
-    axis_sq = jnp.clip(jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1), 0.0, None)
+    axis_sq = jnp.clip(jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1), 1e-24, None)
     axis = jnp.sqrt(axis_sq)
     # fix signs from off-diagonals (largest-component convention)
     sx = jnp.sign(jnp.where(w[..., 0] == 0, 1.0, w[..., 0]))
@@ -83,9 +92,8 @@ def so3_log(R: jax.Array) -> jax.Array:
         jnp.sign(jnp.where(B[..., 0, 2] == 0, 1.0, B[..., 0, 2])),
     ], axis=-1)
     near_pi_axis = axis * signs * sx[..., None]
-    near_pi = near_pi_axis / jnp.clip(
-        jnp.linalg.norm(near_pi_axis, axis=-1, keepdims=True), _EPS, None
-    ) * theta[..., None]
+    near_pi = near_pi_axis / _safe_norm(near_pi_axis)[..., None] \
+        * theta[..., None]
     out = jnp.where((theta < 1e-5)[..., None], small,
                     jnp.where((sin_t < 1e-4)[..., None], near_pi, general))
     return out
@@ -93,7 +101,7 @@ def so3_log(R: jax.Array) -> jax.Array:
 
 def so3_left_jacobian(w: jax.Array) -> jax.Array:
     """V such that exp([ω]×) translation part = V υ.  [..., 3] → [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     t = theta
@@ -106,7 +114,7 @@ def so3_left_jacobian(w: jax.Array) -> jax.Array:
 
 
 def so3_left_jacobian_inv(w: jax.Array) -> jax.Array:
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     t = theta
@@ -252,7 +260,7 @@ def sim3_exp(xi: jax.Array):
     w, v, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(w)
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     # W-coefficients (Strasdat Sim3 exp): t = W_mat · υ
@@ -301,7 +309,7 @@ def _sim3_wmat(xi: jax.Array) -> jax.Array:
     """The W matrix of sim3_exp as a standalone (for log)."""
     w, sigma = xi[..., :3], xi[..., 6]
     s = jnp.exp(sigma)
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = hat(w)
     W2 = W @ W
     eps = 1e-5
