@@ -215,6 +215,15 @@ def obs_incidence(ms: MapState) -> jax.Array:
     return M > 0
 
 
+def covisibility_row(ms: MapState, kf: jax.Array) -> jax.Array:
+    """[K] shared-point counts of one keyframe vs all others — one matvec
+    instead of the full covisibility matmul."""
+    Mi = obs_incidence(ms).astype(jnp.float32)
+    w = (Mi @ Mi[kf]).astype(jnp.int32)
+    w = w.at[kf].set(0)
+    return jnp.where(ms.kf_valid, w, 0)
+
+
 def covisibility(ms: MapState) -> jax.Array:
     """[K, K] int32 shared-map-point counts — the covisibility graph
     (KeyFrame::UpdateConnections, KeyFrame.cc:284) as one MXU matmul."""

@@ -28,6 +28,46 @@ from orbslam2_tpu.utils import camera as cam_mod
 MIN_COVIS_WEIGHT = 15  # covisibility edge threshold (KeyFrame.cc:325)
 
 
+def fuse_points_into_kf(ms: M.MapState, kf, pt_mask, cam, cfg
+                        ):
+    """Core of ORBmatcher::Fuse (ORBmatcher.cc:821) against keyframe ``kf``,
+    restricted to points in ``pt_mask``: merge on conflicting association
+    (keep the better-observed point), attach where unassociated.
+    Returns (ms, n_merged)."""
+    N = ms.N
+    Tcw = ms.kf_pose[kf]
+    q = M.mp_projection_query(ms)
+    q = q._replace(valid=q.valid & pt_mask)
+    m, d, _ = matching.search_by_projection(
+        cam, Tcw, q, ms.kf_xy[kf], ms.kf_level[kf], ms.kf_desc[kf],
+        ms.kf_kp_valid[kf], ms.kf_ur[kf], cfg.orb.scale_factor,
+        cfg.orb.n_levels, radius=3.0, nn_ratio=2.0,
+        check_ur=True, th_dist=matching.TH_LOW)
+    m = matching.resolve_duplicates(m, d, N)
+    P = ms.P
+    pids = jnp.arange(P, dtype=jnp.int32)
+    f_safe = jnp.where(m >= 0, m, 0)
+    existing = jnp.where(m >= 0, ms.kf_mp[kf, f_safe], -2)
+
+    merge = (m >= 0) & (existing >= 0) & (existing != pids)
+    ex_safe = jnp.where(merge, existing, 0)
+    p_wins = ms.mp_n_obs[pids] > ms.mp_n_obs[ex_safe]
+    old = jnp.where(p_wins, ex_safe, pids)
+    new = jnp.where(p_wins, pids, ex_safe)
+    old_to_new = jnp.full((P,), -1, jnp.int32).at[
+        jnp.where(merge, old, P)].set(new)
+    y_safe = jnp.where(old_to_new >= 0, old_to_new, 0)
+    chain = (old_to_new >= 0) & (old_to_new[y_safe] >= 0)
+    old_to_new = jnp.where(chain, -1, old_to_new)
+    n_merged = jnp.sum((old_to_new >= 0).astype(jnp.int32))
+    ms = M.replace_map_points(ms, old_to_new)
+
+    attach = (m >= 0) & (existing == M.NO_MP) & ms.mp_valid
+    ms = M.add_observations(ms, kf, f_safe, pids, attach,
+                            cfg.orb.scale_factor, cfg.orb.n_levels)
+    return ms, n_merged
+
+
 def make_mapping_fns(cfg: SlamConfig):
     cam = cam_mod.Camera.from_config(cfg.camera)
     L = cfg.capacity.local_ba_keyframes       # free-camera window cap
@@ -121,49 +161,16 @@ def make_mapping_fns(cfg: SlamConfig):
     @jax.jit
     def fuse_into_kf(ms: M.MapState, kf: jax.Array
                      ) -> Tuple[M.MapState, jax.Array]:
-        """SearchInNeighbors / ORBmatcher::Fuse (LocalMapping.cc:454,
-        ORBmatcher.cc:821): project live map points into keyframe ``kf``;
-        where a projected point lands on a feature that already references a
-        *different* point, merge the two (keep the better-observed one —
-        MapPoint::Replace); where the feature is unassociated, add the
-        observation.  Duplicate-point starvation is what this prevents.
-
-        The reference fuses pairwise with ~10 covisible neighbours per KF;
-        projecting the whole map into the current KF each insertion reaches
-        the same fixed point with one dense pass per keyframe."""
-        Tcw = ms.kf_pose[kf]
-        q = M.mp_projection_query(ms)
-        m, d, _ = matching.search_by_projection(
-            cam, Tcw, q, ms.kf_xy[kf], ms.kf_level[kf], ms.kf_desc[kf],
-            ms.kf_kp_valid[kf], ms.kf_ur[kf], cfg.orb.scale_factor,
-            cfg.orb.n_levels, radius=3.0, nn_ratio=2.0,
-            check_ur=True, th_dist=matching.TH_LOW)
-        m = matching.resolve_duplicates(m, d, N)
-        P = ms.P
-        pids = jnp.arange(P, dtype=jnp.int32)
-        f_safe = jnp.where(m >= 0, m, 0)
-        existing = jnp.where(m >= 0, ms.kf_mp[kf, f_safe], -2)
-
-        # merge: feature already bound to another point
-        merge = (m >= 0) & (existing >= 0) & (existing != pids)
-        ex_safe = jnp.where(merge, existing, 0)
-        p_wins = ms.mp_n_obs[pids] > ms.mp_n_obs[ex_safe]
-        old = jnp.where(p_wins, ex_safe, pids)
-        new = jnp.where(p_wins, pids, ex_safe)
-        old_to_new = jnp.full((P,), -1, jnp.int32).at[
-            jnp.where(merge, old, P)].set(new)
-        # break chains: drop x→y when y itself is redirected
-        y_safe = jnp.where(old_to_new >= 0, old_to_new, 0)
-        chain = (old_to_new >= 0) & (old_to_new[y_safe] >= 0)
-        old_to_new = jnp.where(chain, -1, old_to_new)
-        n_merged = jnp.sum((old_to_new >= 0).astype(jnp.int32))
-        ms = M.replace_map_points(ms, old_to_new)
-
-        # attach: feature had no association yet
-        attach = (m >= 0) & (existing == M.NO_MP) & ms.mp_valid
-        ms = M.add_observations(ms, kf, f_safe, pids, attach,
-                                cfg.orb.scale_factor, cfg.orb.n_levels)
-        return ms, n_merged
+        """SearchInNeighbors (LocalMapping.cc:454): fuse the covisible
+        neighbourhood's points into the freshly inserted keyframe.
+        Only covisible neighbours' points take part (as in the reference) —
+        fusing against the whole map would stitch revisited regions
+        silently and rob loop closing of its detection."""
+        W_row = M.covisibility_row(ms, kf)
+        neigh = (W_row >= MIN_COVIS_WEIGHT).at[kf].set(True)
+        inc = M.obs_incidence(ms)
+        local_pt = jnp.any(inc & neigh[:, None], axis=0)
+        return fuse_points_into_kf(ms, kf, local_pt, cam, cfg)
 
     @jax.jit
     def cull_map_points(ms: M.MapState, current_kf_count: jax.Array

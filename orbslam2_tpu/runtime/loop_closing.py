@@ -1,0 +1,369 @@
+"""Loop closing: the array analogue of ``LoopClosing`` (src/LoopClosing.cc).
+
+Pipeline per keyframe (reference Run loop, :92):
+  detect     — BoW query against the keyframe DB with min-score gating and
+               covisibility-consistency accumulation (:139-248; host keeps
+               the consecutive-group bookkeeping)
+  compute    — descriptor matching between the two KFs' map points →
+               batched Sim3 RANSAC (:267-360) → projection recount against
+               the loop KF's neighbourhood points (:411-421)
+  correct    — Sim3 pose-graph over the essential graph with the loop edge
+               (:437-611 + Optimizer::OptimizeEssentialGraph) and map-point
+               correction through reference KFs; global BA follows
+               (RunGlobalBundleAdjustment, :679)
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import MONOCULAR, SlamConfig
+from orbslam2_tpu.models import keyframe_db as db_mod
+from orbslam2_tpu.models import map_state as M
+from orbslam2_tpu.models.vocabulary import Vocabulary
+from orbslam2_tpu.ops import bow, bundle, matching, pose_graph, sim3solver
+from orbslam2_tpu.runtime.local_mapping import fuse_points_into_kf
+from orbslam2_tpu.utils import camera as cam_mod
+from orbslam2_tpu.utils import lie
+
+EDGE_COVIS_CAP = 16  # top covisibility edges per KF in the essential graph
+
+
+def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
+    cam = cam_mod.Camera.from_config(cfg.camera)
+    N = cfg.orb.n_features_padded
+    K = cfg.capacity.max_keyframes
+    lcfg = cfg.loop
+
+    @jax.jit
+    def kf_bow_vector(ms: M.MapState, kf: jax.Array) -> jax.Array:
+        return bow.bow_vector(voc, ms.kf_desc[kf], ms.kf_kp_valid[kf])
+
+    @jax.jit
+    def min_neighbor_score(ms: M.MapState, db: db_mod.KeyFrameDB,
+                           kf: jax.Array, vec: jax.Array) -> jax.Array:
+        """Lowest BoW similarity to the query's covisible neighbours
+        (LoopClosing.cc:160-174) — candidates must beat this."""
+        W = M.covisibility(ms)
+        neigh = (W[kf] >= 15) & ms.kf_valid & db.valid
+        scores = db.bow @ vec
+        return jnp.min(jnp.where(neigh, scores, jnp.inf))
+
+    @jax.jit
+    def detect(ms: M.MapState, db: db_mod.KeyFrameDB, kf: jax.Array,
+               vec: jax.Array, min_score: jax.Array):
+        return db_mod.detect_candidates(
+            db, ms, vec, kf, min_score, cfg.capacity.loop_candidates)
+
+    @jax.jit
+    def match_for_sim3(ms: M.MapState, kf1: jax.Array, kf2: jax.Array,
+                       key: jax.Array) -> sim3solver.Sim3Result:
+        """SearchByFboW KF↔KF (dense) + Sim3 RANSAC (LoopClosing.cc:294-360)."""
+        v1 = ms.kf_kp_valid[kf1] & (ms.kf_mp[kf1] >= 0)
+        v2 = ms.kf_kp_valid[kf2] & (ms.kf_mp[kf2] >= 0)
+        m, _ = matching.match_descriptors(
+            ms.kf_desc[kf1], v1, ms.kf_desc[kf2], v2,
+            nn_ratio=lcfg.sim3_nn_ratio, th=matching.TH_LOW,
+            angle_a=ms.kf_angle[kf1], angle_b=ms.kf_angle[kf2])
+        ok = m >= 0
+        m_safe = jnp.where(ok, m, 0)
+        mp1 = ms.kf_mp[kf1]
+        mp2 = ms.kf_mp[kf2][m_safe]
+        ok = ok & (mp1 >= 0) & (mp2 >= 0) & \
+            ms.mp_valid[jnp.where(mp1 >= 0, mp1, 0)] & \
+            ms.mp_valid[jnp.where(mp2 >= 0, mp2, 0)]
+        p1w = ms.mp_pos[jnp.where(ok, mp1, 0)]
+        p2w = ms.mp_pos[jnp.where(ok, mp2, 0)]
+        p1c = lie.transform_points(ms.kf_pose[kf1], p1w[None])[0]
+        p2c = lie.transform_points(ms.kf_pose[kf2], p2w[None])[0]
+        return sim3solver.sim3_ransac(
+            cam, p1c, p2c, ok, key,
+            fix_scale=(cfg.sensor != MONOCULAR),
+            n_hypotheses=128,
+            min_inliers=lcfg.ransac_threshold_trigger)
+
+    @jax.jit
+    def recount_matches(ms: M.MapState, kf1: jax.Array, kf2: jax.Array,
+                        s12, R12, t12) -> jax.Array:
+        """SearchByProjection of the loop KF's neighbourhood points through
+        the corrected pose (LoopClosing.cc:411-421): total match count must
+        reach the detection threshold."""
+        # corrected world→kf1: Scw = S12 ∘ T_kf2_w
+        R2, t2 = lie.mat_to_rt(ms.kf_pose[kf2])
+        sc, Rc, tc = lie.sim3_mul(s12, R12, t12,
+                                  jnp.ones(()), R2, t2)
+        Tcw = lie.rt_to_mat(Rc, tc / jnp.maximum(sc, 1e-9))
+        q = M.mp_projection_query(ms)
+        # restrict to points seen by kf2's covisible neighbourhood
+        W = M.covisibility(ms)
+        neigh = (W[kf2] >= 15) | (jnp.arange(K) == kf2)
+        inc = M.obs_incidence(ms)
+        in_neigh = jnp.any(inc & neigh[:, None], axis=0)
+        q = q._replace(valid=q.valid & in_neigh)
+        m, d, _ = matching.search_by_projection(
+            cam, Tcw, q, ms.kf_xy[kf1], ms.kf_level[kf1], ms.kf_desc[kf1],
+            ms.kf_kp_valid[kf1], ms.kf_ur[kf1], cfg.orb.scale_factor,
+            cfg.orb.n_levels, radius=10.0, nn_ratio=2.0,
+            th_dist=matching.TH_LOW)
+        m = matching.resolve_duplicates(m, d, N)
+        return jnp.sum((m >= 0).astype(jnp.int32))
+
+    @jax.jit
+    def correct_loop(ms: M.MapState, kf_cur: jax.Array, kf_loop: jax.Array,
+                     s12, R12, t12,
+                     prev_loop_i: jax.Array, prev_loop_j: jax.Array,
+                     prev_loop_ok: jax.Array) -> M.MapState:
+        """Essential-graph optimization + map-point correction
+        (LoopClosing::CorrectLoop + OptimizeEssentialGraph)."""
+        s0, R0, t0 = pose_graph.sim3_from_se3(ms.kf_pose)
+
+        W = M.covisibility(ms)
+        covw, covi = jax.lax.top_k(
+            jnp.where(ms.kf_valid[None, :], W, 0), EDGE_COVIS_CAP)  # [K, C]
+        rows = jnp.repeat(jnp.arange(K, dtype=jnp.int32)[:, None],
+                          EDGE_COVIS_CAP, axis=1)
+        cov_ok = ((covw >= cfg.optimizer.covisible_keyframes)
+                  & ms.kf_valid[rows] & (covi > rows))   # dedup i<j
+        # spanning-tree edges
+        par = ms.kf_parent
+        par_ok = (par >= 0) & ms.kf_valid
+        # previous loop edges + the new loop edge
+        e_i = jnp.concatenate([
+            rows.reshape(-1), jnp.arange(K, dtype=jnp.int32),
+            prev_loop_i, jnp.array([kf_cur], jnp.int32)])
+        e_j = jnp.concatenate([
+            covi.reshape(-1), jnp.where(par_ok, par, 0),
+            prev_loop_j, jnp.array([kf_loop], jnp.int32)])
+        e_w = jnp.concatenate([
+            cov_ok.reshape(-1).astype(jnp.float32),
+            par_ok.astype(jnp.float32),
+            prev_loop_ok.astype(jnp.float32),
+            jnp.ones((1,), jnp.float32)])
+
+        # measurements: current relative poses for all edges; the loop edge
+        # carries the Sim3-computed correction instead
+        si, Ri, ti = s0[e_i], R0[e_i], t0[e_i]
+        sj, Rj, tj = s0[e_j], R0[e_j], t0[e_j]
+        inv = lie.sim3_inv(sj, Rj, tj)
+        m_s, m_R, m_t = lie.sim3_mul(si, Ri, ti, *inv)
+        m_s = m_s.at[-1].set(s12)
+        m_R = m_R.at[-1].set(R12)
+        m_t = m_t.at[-1].set(t12)
+
+        fixed = jnp.zeros((K,), bool).at[kf_loop].set(True)
+        prob = pose_graph.PoseGraphProblem(
+            s=s0, R=R0, t=t0, fixed=fixed, vertex_valid=ms.kf_valid,
+            e_i=e_i, e_j=e_j, m_s=m_s, m_R=m_R, m_t=m_t, e_weight=e_w)
+        s1, R1, t1 = pose_graph.optimize_pose_graph(
+            prob, n_iters=cfg.optimizer.essential_graph_iterations,
+            cg_iters=64, fix_scale=(cfg.sensor != MONOCULAR))
+
+        # map points follow their reference KF (Optimizer.cc:1057-1087)
+        ref = jnp.clip(ms.mp_ref_kf, 0, K - 1)
+        new_pos = pose_graph.correct_points(
+            ms.mp_pos, s0[ref], R0[ref], t0[ref], s1[ref], R1[ref], t1[ref])
+        mp_pos = jnp.where(ms.mp_valid[:, None], new_pos, ms.mp_pos)
+        kf_pose = jnp.where(ms.kf_valid[:, None, None],
+                            pose_graph.se3_from_sim3(s1, R1, t1),
+                            ms.kf_pose)
+        return ms._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+    @jax.jit
+    def fuse_after_loop(ms: M.MapState, kf_cur: jax.Array,
+                        kf_loop: jax.Array):
+        """SearchAndFuse (LoopClosing.cc:553-577, 621): after the pose
+        graph aligns both sides of the loop, merge the duplicated geometry —
+        loop-region points into the current KF and vice versa."""
+        W = M.covisibility(ms)
+        inc = M.obs_incidence(ms)
+        neigh_l = (W[kf_loop] >= 15).at[kf_loop].set(True)
+        loop_pts = jnp.any(inc & neigh_l[:, None], axis=0)
+        ms, n1 = fuse_points_into_kf(ms, kf_cur, loop_pts, cam, cfg)
+        neigh_c = (W[kf_cur] >= 15).at[kf_cur].set(True)
+        inc2 = M.obs_incidence(ms)
+        cur_pts = jnp.any(inc2 & neigh_c[:, None], axis=0)
+        ms, n2 = fuse_points_into_kf(ms, kf_loop, cur_pts, cam, cfg)
+        return ms, n1 + n2
+
+    @jax.jit
+    def global_ba(ms: M.MapState) -> M.MapState:
+        """RunGlobalBundleAdjustment (LoopClosing.cc:679) — all KFs free
+        except the gauge anchor, every live point, every observation."""
+        kfm = ms.kf_mp
+        obs_ok = (kfm >= 0) & ms.kf_kp_valid & ms.kf_valid[:, None]
+        cam_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32)[:, None], N, axis=1)
+        sigma2 = jnp.asarray(
+            np.array([cfg.orb.scale_factor ** (2 * l)
+                      for l in range(cfg.orb.n_levels)], np.float32))
+        prob = bundle.BAProblem(
+            poses=ms.kf_pose, points=ms.mp_pos, point_valid=ms.mp_valid,
+            cam_i=cam_i.reshape(-1),
+            pt_i=jnp.where(obs_ok, kfm, 0).reshape(-1),
+            uv=ms.kf_xy.reshape(-1, 2), ur=ms.kf_ur.reshape(-1),
+            inv_sigma2=(1.0 / sigma2)[ms.kf_level].reshape(-1),
+            valid=obs_ok.reshape(-1))
+        poses, points, inlier = bundle.bundle_adjust(
+            cam, prob, n_free=K, iters_a=5, iters_b=5, fix_first_free=True)
+        return ms._replace(
+            kf_pose=jnp.where(ms.kf_valid[:, None, None], poses, ms.kf_pose),
+            mp_pos=jnp.where(ms.mp_valid[:, None], points, ms.mp_pos))
+
+    @jax.jit
+    def frame_bow_vector(desc: jax.Array, valid: jax.Array) -> jax.Array:
+        return bow.bow_vector(voc, desc, valid)
+
+    @jax.jit
+    def reloc_attempt(ms: M.MapState, fd_desc, fd_valid, fd_xy, fd_level,
+                      fd_ur, fd_angle, kf: jax.Array, key: jax.Array):
+        """One relocalization candidate (Tracking::Relocalization inner
+        loop, Tracking.cc:1440-1603): brute-force descriptor match against
+        the candidate KF's map points → EPnP RANSAC → pose-opt polish.
+        Returns (Tcw, n_inliers, assoc)."""
+        from orbslam2_tpu.ops import pnp, pose_opt
+
+        kdesc = ms.kf_desc[kf]
+        kvalid = ms.kf_kp_valid[kf] & (ms.kf_mp[kf] >= 0)
+        m, _ = matching.match_descriptors(
+            fd_desc, fd_valid, kdesc, kvalid,
+            nn_ratio=cfg.tracking.relocalization_nn_ratio,
+            th=matching.TH_LOW, angle_a=fd_angle,
+            angle_b=ms.kf_angle[kf])
+        ok = m >= 0
+        msafe = jnp.where(ok, m, 0)
+        mp = ms.kf_mp[kf][msafe]
+        ok = ok & (mp >= 0) & ms.mp_valid[jnp.where(mp >= 0, mp, 0)]
+        assoc = jnp.where(ok, mp, M.NO_MP)
+        pts_w = ms.mp_pos[jnp.where(ok, mp, 0)]
+        sigma2 = jnp.asarray(
+            np.array([cfg.orb.scale_factor ** (2 * l)
+                      for l in range(cfg.orb.n_levels)], np.float32))
+        res = pnp.pnp_ransac(
+            cam, pts_w, fd_xy, sigma2[fd_level], ok, key,
+            n_hypotheses=128,
+            chi2_th=cfg.tracking.pnp_ransac_th2,
+            min_inliers=cfg.tracking.pnp_ransac_min_inliers)
+        obs = pose_opt.PoseObs(
+            pts_w=pts_w, uv=fd_xy, ur=fd_ur,
+            inv_sigma2=(1.0 / sigma2)[fd_level],
+            valid=ok)
+        Tcw, inl, n = pose_opt.pose_optimization(cam, res.Tcw, obs)
+        assoc = jnp.where(inl, assoc, M.NO_MP)
+        return Tcw, jnp.where(res.ok, n, 0), assoc
+
+    return (kf_bow_vector, min_neighbor_score, detect, match_for_sim3,
+            recount_matches, correct_loop, global_ba, frame_bow_vector,
+            reloc_attempt, fuse_after_loop)
+
+
+class LoopCloser:
+    """Host-side orchestration with the consistency-group bookkeeping of
+    DetectLoop (LoopClosing.cc:188-248)."""
+
+    def __init__(self, cfg: SlamConfig, voc: Vocabulary):
+        self.cfg = cfg
+        self.voc = voc
+        (self.f_bow, self.f_min_score, self.f_detect, self.f_sim3,
+         self.f_recount, self.f_correct, self.f_gba, self.f_frame_bow,
+         self.f_reloc, self.f_fuse_loop) = make_loop_fns(cfg, voc)
+        self.db = db_mod.KeyFrameDB.empty(cfg.capacity.max_keyframes,
+                                          voc.n_words)
+        self.consistent_groups: List[Tuple[Set[int], int]] = []
+        self.prev_loops: List[Tuple[int, int]] = []
+        self.last_loop_kf = -1
+        self._key = jax.random.PRNGKey(42)
+
+    def _split_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def add_keyframe(self, ms: M.MapState, kf: int) -> None:
+        vec = self.f_bow(ms, jnp.int32(kf))
+        self.db = self.db.add(jnp.int32(kf), vec)
+        self._last_vec = vec
+
+    def process(self, ms: M.MapState, kf: int, n_kfs: int
+                ) -> Tuple[M.MapState, bool]:
+        """Run detection (+ correction on success) for keyframe ``kf``.
+        Returns (possibly corrected ms, loop_closed)."""
+        lcfg = self.cfg.loop
+        if n_kfs < lcfg.minimum_keyframes or \
+                kf - self.last_loop_kf < lcfg.minimum_keyframes:
+            return ms, False
+        vec = self._last_vec
+        min_score = self.f_min_score(ms, self.db, jnp.int32(kf), vec)
+        cands, scores = self.f_detect(ms, self.db, jnp.int32(kf), vec,
+                                      min_score)
+        cands = [int(c) for c in np.asarray(cands) if c >= 0]
+        if not cands:
+            self.consistent_groups = []
+            return ms, False
+
+        # covisibility-consistency accumulation (host sets)
+        W = np.asarray(M.covisibility(ms))
+        enough: List[int] = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for c in cands:
+            group = set(np.where(W[c] >= 15)[0].tolist()) | {c}
+            best_consistency = 0
+            for prev_set, count in self.consistent_groups:
+                if group & prev_set:
+                    best_consistency = max(best_consistency, count + 1)
+            new_groups.append((group, best_consistency))
+            if best_consistency >= lcfg.covisibility_consistency_threshold:
+                enough.append(c)
+        self.consistent_groups = new_groups
+        if not enough:
+            return ms, False
+
+        for cand in enough:
+            res = self.f_sim3(ms, jnp.int32(kf), jnp.int32(cand),
+                              self._split_key())
+            if not bool(res.ok):
+                continue
+            n_total = int(self.f_recount(ms, jnp.int32(kf), jnp.int32(cand),
+                                         res.s12, res.R12, res.t12))
+            if n_total < lcfg.detection_threshold:
+                continue
+            # accept: correct the map, add the loop edge, run GBA.
+            # previous-loop edges are padded to a fixed capacity so the
+            # correction jit never retraces
+            CAP = 8
+            loops = self.prev_loops[-CAP:]
+            pl_i = jnp.asarray([i for i, _ in loops] + [0] * (CAP - len(loops)),
+                               jnp.int32)
+            pl_j = jnp.asarray([j for _, j in loops] + [0] * (CAP - len(loops)),
+                               jnp.int32)
+            pl_ok = jnp.asarray([True] * len(loops)
+                                + [False] * (CAP - len(loops)))
+            ms = self.f_correct(ms, jnp.int32(kf), jnp.int32(cand),
+                                res.s12, res.R12, res.t12, pl_i, pl_j, pl_ok)
+            ms, _ = self.f_fuse_loop(ms, jnp.int32(kf), jnp.int32(cand))
+            ms = self.f_gba(ms)
+            self.prev_loops.append((kf, cand))
+            self.last_loop_kf = kf
+            self.consistent_groups = []
+            return ms, True
+        return ms, False
+
+    # ---------------------------------------------------- relocalization --
+    def relocalize(self, ms: M.MapState, fd) -> Tuple[Optional[np.ndarray],
+                                                      Optional[jax.Array]]:
+        """Tracking::Relocalization (Tracking.cc:1440): BoW query of the DB
+        → per-candidate EPnP RANSAC + pose opt; success at ≥ 50 inliers
+        (:1589).  Returns (Tcw, assoc) or (None, None)."""
+        vec = self.f_frame_bow(fd.desc, fd.valid)
+        cands, _ = self.f_detect(ms, self.db, jnp.int32(-1), vec,
+                                 jnp.float32(0.0))
+        for c in np.asarray(cands):
+            if c < 0:
+                continue
+            Tcw, n, assoc = self.f_reloc(
+                ms, fd.desc, fd.valid, fd.xy, fd.level, fd.ur, fd.angle,
+                jnp.int32(int(c)), self._split_key())
+            if int(n) >= 50:
+                return np.asarray(Tcw), assoc
+        return None, None

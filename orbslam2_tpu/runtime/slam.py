@@ -17,12 +17,14 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import jax
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from orbslam2_tpu.config import MONOCULAR, RGBD, STEREO, SlamConfig
 from orbslam2_tpu.models import frame as frame_mod
 from orbslam2_tpu.models import map_state as M
+from orbslam2_tpu.ops import triangulate as tri_mod
 from orbslam2_tpu.runtime import local_mapping, tracking
 from orbslam2_tpu.utils import lie
 
@@ -42,7 +44,8 @@ class TrajectoryEntry:
 class SlamEngine:
     """Single-process engine for stereo / RGB-D sequences."""
 
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True,
+                 vocabulary=None):
         self.cfg = cfg
         if cfg.sensor == STEREO:
             self.frontend = frame_mod.make_frontend_stereo(cfg)
@@ -50,10 +53,20 @@ class SlamEngine:
             self.frontend = frame_mod.make_frontend_rgbd(cfg)
         else:
             self.frontend = frame_mod.make_frontend_mono(cfg)
-        (self.f_init, self.f_track, self.f_track_ref,
-         self.f_insert_kf, self.f_ref_tracked) = tracking.make_tracking_fns(cfg)
+        (self.f_init, self.f_track, self.f_track_ref, self.f_insert_kf,
+         self.f_ref_tracked,
+         self.f_pose_cov) = tracking.make_tracking_fns(cfg)
         (self.f_local_ba, self.f_cull_mp, self.f_cull_kf,
          self.f_fuse) = local_mapping.make_mapping_fns(cfg)
+        (self.f_triangulate,
+         self.f_insert_tri) = tri_mod.make_triangulation_fn(cfg)
+        self.f_covis_row = jax.jit(M.covisibility_row)
+        self.loop_closer = None
+        if enable_loop_closing:
+            from orbslam2_tpu.models.vocabulary import default_vocabulary
+            from orbslam2_tpu.runtime.loop_closing import LoopCloser
+            voc = vocabulary if vocabulary is not None else default_vocabulary()
+            self.loop_closer = LoopCloser(cfg, voc)
 
         self.ms = M.empty_map(cfg)
         self.state = tracking.NO_IMAGES_YET
@@ -71,7 +84,7 @@ class SlamEngine:
         self.localization_only = False
         self.stats = {"kf_inserted": 0, "mp_created": 0, "mp_culled": 0,
                       "kf_culled": 0, "ba_outliers": 0, "reloc": 0,
-                      "mp_fused": 0}
+                      "mp_fused": 0, "loops_closed": 0}
 
     # ------------------------------------------------------------ tracking
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
@@ -91,6 +104,9 @@ class SlamEngine:
             ok = self._initialize(fd, timestamp)
             self.frame_id += 1
             return np.asarray(self.last_Tcw) if ok else None
+
+        if self.state == tracking.LOST:
+            return self._handle_lost(fd, timestamp)
 
         Tcw_pred = self._predict_pose()
         res = self.f_track(self.ms, fd, jnp.asarray(Tcw_pred, jnp.float32),
@@ -112,6 +128,7 @@ class SlamEngine:
         lost = n_map_inliers < self.cfg.tracking.motion_model_threshold
         if lost:
             self.state = tracking.LOST
+            self.velocity = None
             self._record_traj(timestamp, None)
             self.frame_id += 1
             return None
@@ -128,13 +145,76 @@ class SlamEngine:
             self._create_keyframe(fd, res, timestamp)
 
         self._record_traj(timestamp, Tcw)
+        self.last_fd = fd
         self.frame_id += 1
         return Tcw
+
+    def track_monocular(self, gray, timestamp: float):
+        fd = self.frontend(jnp.asarray(gray, jnp.float32))
+        return self._track_common(fd, timestamp)
+
+    def _initialize_mono(self, fd, timestamp: float) -> bool:
+        """MonocularInitialization (Tracking.cc:663): hold a reference
+        frame, match, run the H/F initializer, build the 2-KF map, refine
+        with an initial bundle adjustment (CreateInitialMapMonocular's
+        20-iteration GBA, :784)."""
+        if not hasattr(self, "f_mono_match"):
+            (self.f_mono_match,
+             self.f_mono_build) = tracking.make_mono_init_fns(self.cfg)
+            self._mono_key = jax.random.PRNGKey(7)
+        n_kp = int(jnp.sum(fd.valid))
+        if getattr(self, "_mono_ref", None) is None:
+            if n_kp > 100:
+                self._mono_ref = (fd, self.frame_id, timestamp)
+            return False
+        ref, ref_id, ref_ts = self._mono_ref
+        if n_kp <= 100:
+            self._mono_ref = None   # (:688-693: drop weak reference frame)
+            return False
+        m, n_matches = self.f_mono_match(ref, fd)
+        if int(n_matches) < 100:    # (:698)
+            self._mono_ref = None
+            return False
+        self._mono_key, k = jax.random.split(self._mono_key)
+        ms2, ok, T2, assoc_cur, n_pts = self.f_mono_build(
+            self.ms, ref, fd, m, k, jnp.int32(ref_id),
+            jnp.int32(self.frame_id), jnp.float32(ref_ts),
+            jnp.float32(timestamp))
+        if not bool(ok):
+            return False
+        self.ms = ms2
+        self.n_kfs = 2
+        self.mp_top = fd.n
+        self.last_Tcw = np.asarray(T2)
+        self.last_assoc = assoc_cur
+        self.last_inlier = jnp.ones((fd.n,), bool)
+        self.ref_kf = 1
+        self.state = tracking.OK
+        self.last_kf_frame_id = self.frame_id
+        self.stats["kf_inserted"] += 2
+        self.stats["mp_created"] += int(n_pts)
+        # initial refinement (GlobalBundleAdjustemnt(20), Tracking.cc:784)
+        self.ms, _ = self.f_local_ba(self.ms, jnp.int32(1))
+        self.last_Tcw = np.asarray(self.ms.kf_pose[1])
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.ms, 0)
+            self.loop_closer.add_keyframe(self.ms, 1)
+        self._record_traj(timestamp, self.last_Tcw)
+        self._mono_ref = None
+        return True
+
+    def current_pose_covariance(self):
+        """6×6 covariance of the last tracked pose, or None."""
+        if getattr(self, "last_fd", None) is None or self.last_Tcw is None:
+            return None
+        return np.asarray(self.f_pose_cov(
+            self.ms, self.last_fd, jnp.asarray(self.last_Tcw, jnp.float32),
+            self.last_assoc))
 
     # -------------------------------------------------------------- stages
     def _initialize(self, fd, timestamp: float) -> bool:
         if self.cfg.sensor == MONOCULAR:
-            raise NotImplementedError("monocular init lands with ops/ransac")
+            return self._initialize_mono(fd, timestamp)
         # reference requires 500 keypoints (Tracking.cc:611); we gate on
         # usable depth points, which is the binding constraint
         n_valid = int(jnp.sum((fd.depth > 0) & fd.valid))
@@ -207,9 +287,25 @@ class SlamEngine:
         self.last_inlier = jnp.ones_like(self.last_inlier)
 
         # ---- local mapping (synchronous; LocalMapping::Run order:
-        # cull points → [triangulate] → fuse → local BA → cull KFs) ----
+        # cull points → triangulate → fuse → local BA → cull KFs) ----
         self.ms, n_culled = self.f_cull_mp(self.ms, jnp.int32(kf_slot))
         self.stats["mp_culled"] += int(n_culled)
+        # CreateNewMapPoints: epipolar triangulation with the top covisible
+        # neighbours (LocalMapping.cc:207; 10/20 there, bounded here — each
+        # neighbour is a dense N×N pass)
+        if self.n_kfs >= 2:
+            w = np.asarray(self.f_covis_row(self.ms, jnp.int32(kf_slot)))
+            for nb in np.argsort(-w)[:2]:
+                if w[nb] < 15 or self.mp_top >= self.cfg.capacity.max_map_points:
+                    break
+                tri = self.f_triangulate(self.ms, jnp.int32(kf_slot),
+                                         jnp.int32(int(nb)))
+                self.ms, n_tri = self.f_insert_tri(
+                    self.ms, jnp.int32(kf_slot), jnp.int32(int(nb)), tri,
+                    jnp.int32(self.mp_top))
+                n_tri = int(n_tri)
+                self.mp_top += n_tri
+                self.stats["mp_created"] += n_tri
         self.ms, n_merged = self.f_fuse(self.ms, jnp.int32(kf_slot))
         self.stats["mp_fused"] += int(n_merged)
         if self.n_kfs >= 3:
@@ -220,6 +316,37 @@ class SlamEngine:
             self.stats["kf_culled"] += int(culled)
         # associations may have been fused away — refresh from the map
         self.last_assoc = self.ms.kf_mp[kf_slot]
+
+        # ---- loop closing (LoopClosing::Run per keyframe) ----
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(self.ms, kf_slot)
+            self.ms, closed = self.loop_closer.process(self.ms, kf_slot,
+                                                       self.n_kfs)
+            if closed:
+                self.stats["loops_closed"] += 1
+                # poses moved wholesale — rebase the motion model
+                self.velocity = None
+                self.last_Tcw = np.asarray(self.ms.kf_pose[kf_slot])
+
+    def _handle_lost(self, fd, timestamp: float) -> Optional[np.ndarray]:
+        """Relocalization path (Tracking.cc:434-449)."""
+        if self.loop_closer is None:
+            self._record_traj(timestamp, None)
+            self.frame_id += 1
+            return None
+        Tcw, assoc = self.loop_closer.relocalize(self.ms, fd)
+        self.frame_id += 1
+        if Tcw is None:
+            self._record_traj(timestamp, None)
+            return None
+        self.stats["reloc"] += 1
+        self.state = tracking.OK
+        self.velocity = None
+        self.last_Tcw = Tcw.astype(np.float32)
+        self.last_assoc = assoc
+        self.last_inlier = jnp.ones_like(assoc >= 0)
+        self._record_traj(timestamp, Tcw)
+        return Tcw
 
     def _record_traj(self, timestamp: float, Tcw: Optional[np.ndarray]):
         if Tcw is None:

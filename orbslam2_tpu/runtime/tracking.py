@@ -142,10 +142,24 @@ def make_tracking_fns(cfg: SlamConfig):
         pose1, inl1, n1 = pose_opt.pose_optimization(
             cam, Tcw_pred, obs1, n_rounds=4, iters_per_round=10)
 
-        # ---- stage 2: full-map projection (TrackLocalMap; the covisibility
-        # local-map restriction is a CPU working-set bound — on TPU the
-        # frustum+scale+viewcos gates over all points are exact and cheap) --
+        # ---- stage 2: TrackLocalMap (Tracking.cc:1030).  The local map is
+        # the points of keyframes sharing observations with the current
+        # matches, capped at keyframesLimit=80 (Tracking.cc:1294-1438).
+        # This restriction is not just a CPU working-set bound: matching
+        # against far-away map regions would close loops silently through
+        # tracking and starve the explicit loop-closing path (and is unsafe
+        # under drift).  Built densely: two masked matmul-style reductions.
+        inc = M.obs_incidence(ms)                              # [K, P]
+        matched_mask = jnp.zeros((ms.P,), jnp.float32).at[
+            jnp.where(assoc1 >= 0, assoc1, ms.P)].set(1.0)
+        share = inc.astype(jnp.float32) @ matched_mask         # [K]
+        kcap = min(tcfg.keyframes_limit, ms.K)
+        topw, topi = jax.lax.top_k(share, kcap)
+        local_kf = jnp.zeros((ms.K,), bool).at[
+            jnp.where(topw > 0, topi, ms.K)].set(True)
+        local_pt = jnp.any(inc & local_kf[:, None], axis=0)
         q2 = M.mp_projection_query(ms)
+        q2 = q2._replace(valid=q2.valid & local_pt)
         m2, d2, _ = matching.search_by_projection(
             cam, pose1, q2, fd.xy, fd.level, fd.desc, fd.valid, fd.ur,
             sf, nl, radius=4.0 * tcfg.searching_by_projection_threshold / 5.0,
@@ -254,6 +268,20 @@ def make_tracking_fns(cfg: SlamConfig):
         return ms, jnp.sum(ok_new.astype(jnp.int32))
 
     @jax.jit
+    def pose_covariance(ms: M.MapState, fd: FrameData, Tcw: jax.Array,
+                        assoc: jax.Array) -> jax.Array:
+        """6×6 pose covariance = inverse GN Hessian of the reprojection
+        problem at the current pose (System::GetCurrentCovarianceMatrix,
+        System.cc:703-790 — Geneva/Eckenhoff/Huang App. F formulation)."""
+        obs = _pose_obs_from_assoc(ms, fd, assoc, inv_sigma2)
+        e, J, is_stereo, behind = pose_opt._residuals_jac(cam, Tcw, obs)
+        w = obs.inv_sigma2 * obs.valid.astype(jnp.float32) \
+            * (~behind).astype(jnp.float32)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, J)
+        return jnp.linalg.inv(H + 1e-9 * jnp.eye(6, dtype=H.dtype))
+
+    @jax.jit
     def ref_tracked_count(ms: M.MapState, ref_kf: jax.Array,
                           min_obs: jax.Array) -> jax.Array:
         """KeyFrame::TrackedMapPoints(minObs) (KeyFrame.cc analogue): ref-KF
@@ -264,4 +292,74 @@ def make_tracking_fns(cfg: SlamConfig):
         good = ok & ms.mp_valid[idx] & (ms.mp_n_obs[idx] >= min_obs)
         return jnp.sum(good.astype(jnp.int32))
 
-    return init_stereo, track, track_ref_kf, insert_keyframe, ref_tracked_count
+    return (init_stereo, track, track_ref_kf, insert_keyframe,
+            ref_tracked_count, pose_covariance)
+
+
+def make_mono_init_fns(cfg: SlamConfig):
+    """Monocular bootstrap (Tracking::MonocularInitialization, Tracking.cc:663
+    + CreateInitialMapMonocular, :736)."""
+    from orbslam2_tpu.ops import initializer as init_mod
+
+    cam = cam_mod.Camera.from_config(cfg.camera)
+    sf, nl = cfg.orb.scale_factor, cfg.orb.n_levels
+    N = cfg.orb.n_features_padded
+
+    @jax.jit
+    def mono_match(ref: FrameData, cur: FrameData):
+        m, d = matching.search_for_initialization(
+            ref.xy, ref.desc, ref.valid, ref.level,
+            cur.xy, cur.desc, cur.valid, cur.level,
+            ref.angle, cur.angle, window=100.0, nn_ratio=0.9)
+        return m, jnp.sum((m >= 0).astype(jnp.int32))
+
+    @jax.jit
+    def mono_build(ms: M.MapState, ref: FrameData, cur: FrameData,
+                   m: jax.Array, key: jax.Array,
+                   frame_id_ref: jax.Array, frame_id_cur: jax.Array,
+                   ts_ref: jax.Array, ts_cur: jax.Array):
+        """Run H/F init and, if successful, build the two-keyframe map with
+        median-depth scale normalization (Tracking.cc:786-811).
+        Returns (ms, ok, Tcw2, assoc_cur, n_points)."""
+        ok_m = m >= 0
+        msafe = jnp.where(ok_m, m, 0)
+        p1 = ref.xy
+        p2 = cur.xy[msafe]
+        res = init_mod.initialize_mono(cam, p1, p2, ok_m, key)
+
+        # median-depth normalization
+        z = res.points[:, 2]
+        zs = jnp.where(res.good, z, jnp.nan)
+        med = jnp.nanmedian(zs)
+        scale = 1.0 / jnp.maximum(jnp.where(jnp.isnan(med), 1.0, med), 1e-6)
+        pts = res.points * scale
+        T2 = res.Tcw2.at[:3, 3].multiply(scale)
+
+        good = res.good & res.ok
+        slots = jnp.cumsum(good.astype(jnp.int32)) - 1
+        slots = jnp.where(good, slots, 0).astype(jnp.int32)
+        ms = M.add_map_points(ms, slots, pts, good,
+                              ref_kf=jnp.zeros((N,), jnp.int32))
+        assoc_ref = jnp.where(good, slots, M.NO_MP)
+        # KF0 at identity
+        eye = jnp.eye(4, dtype=jnp.float32)
+        ms = M.add_keyframe(ms, jnp.int32(0), eye, frame_id_ref, ts_ref,
+                            ref.xy, ref.level, ref.angle, ref.desc,
+                            ref.valid, ref.ur, ref.depth, assoc_ref,
+                            parent=jnp.int32(-1))
+        feat_idx = jnp.arange(N, dtype=jnp.int32)
+        ms = M.add_observations(ms, jnp.int32(0), feat_idx, assoc_ref, good,
+                                sf, nl)
+        # KF1: scatter assoc through the match indices
+        assoc_cur = jnp.full((N + 1,), M.NO_MP, jnp.int32).at[
+            jnp.where(good, msafe, N)].set(assoc_ref)[:N]
+        ms = M.add_keyframe(ms, jnp.int32(1), T2, frame_id_cur, ts_cur,
+                            cur.xy, cur.level, cur.angle, cur.desc,
+                            cur.valid, cur.ur, cur.depth, assoc_cur,
+                            parent=jnp.int32(0))
+        ms = M.add_observations(ms, jnp.int32(1), feat_idx, assoc_cur,
+                                assoc_cur >= 0, sf, nl)
+        n_pts = jnp.sum(good.astype(jnp.int32))
+        return ms, res.ok & (n_pts > 0), T2, assoc_cur, n_pts
+
+    return mono_match, mono_build
