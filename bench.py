@@ -20,6 +20,11 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: first bench run pays compiles, later
+# runs (and later driver rounds) start hot
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
 REFERENCE_FPS = 30.0  # camera-rate real-time claim, best case in repo
 
 
@@ -48,14 +53,14 @@ def main():
     frames = [synthetic.render_stereo(scene, cfg.camera, T, rng, noise=1.0)
               for T in poses]
 
-    eng = SlamEngine(cfg)
+    eng = SlamEngine(cfg, enable_loop_closing=False)
     # build a live map + warm every jit cache
-    for i, (lf, rt) in enumerate(frames[:10]):
+    for i, (lf, rt) in enumerate(frames[:8]):
         eng.track_stereo(lf, rt, timestamp=0.1 * i)
 
     # steady-state timing of the tracking step (device-resident inputs)
-    lf = jnp.asarray(frames[10][0], jnp.float32)
-    rt = jnp.asarray(frames[10][1], jnp.float32)
+    lf = jnp.asarray(frames[8][0], jnp.float32)
+    rt = jnp.asarray(frames[8][1], jnp.float32)
     Tcw_pred = jnp.asarray(eng._predict_pose(), jnp.float32)
 
     def step():

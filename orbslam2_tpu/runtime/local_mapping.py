@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from orbslam2_tpu.config import SlamConfig
+from orbslam2_tpu.config import MONOCULAR, SlamConfig
 from orbslam2_tpu.models import map_state as M
 from orbslam2_tpu.ops import bundle, matching
 from orbslam2_tpu.utils import camera as cam_mod
@@ -181,9 +181,12 @@ def make_mapping_fns(cfg: SlamConfig):
         ratio = ms.mp_found.astype(jnp.float32) / jnp.maximum(
             ms.mp_visible.astype(jnp.float32), 1.0)
         recent = age <= 3
+        # cnThObs: 2 for monocular, 3 otherwise (LocalMapping.cc:177);
+        # stereo observations already count double in mp_n_obs
+        th_obs = 2 if cfg.sensor == MONOCULAR else 3
         bad = ms.mp_valid & recent & (
             (ratio < 0.25)
-            | ((age >= 2) & (ms.mp_n_obs <= 3)))
+            | ((age >= 2) & (ms.mp_n_obs <= th_obs)))
         ms = M.invalidate_map_points(ms, bad)
         return ms, jnp.sum(bad.astype(jnp.int32))
 

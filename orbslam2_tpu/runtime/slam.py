@@ -108,24 +108,31 @@ class SlamEngine:
         if self.state == tracking.LOST:
             return self._handle_lost(fd, timestamp)
 
+        t = self.cfg.tracking
         Tcw_pred = self._predict_pose()
         res = self.f_track(self.ms, fd, jnp.asarray(Tcw_pred, jnp.float32),
                            self.last_assoc, self.last_inlier)
-        n_mm = int(res.n_matches_mm)
-        if n_mm < self.cfg.tracking.speedup_matches_threshold:
+        if (int(res.n_matches_mm) < t.speedup_matches_threshold
+                or int(res.n_inliers_mm) < t.motion_model_threshold):
             # widen the search window ×2 (Tracking.cc:985-996)
             res = self.f_track(self.ms, fd,
                                jnp.asarray(Tcw_pred, jnp.float32),
                                self.last_assoc, self.last_inlier, wide=True)
-            if int(res.n_matches_mm) < self.cfg.tracking.speedup_matches_threshold2:
-                # motion model failed → reference-KF fallback (Tracking.cc:419)
-                res = self.f_track_ref(
-                    self.ms, fd, jnp.int32(self.ref_kf),
-                    jnp.asarray(self.last_Tcw, jnp.float32))
+        if int(res.n_inliers_map) < t.local_map_tracking_threshold:
+            # motion model failed → TrackReferenceKeyFrame (Tracking.cc:419),
+            # then re-run the full two-stage track from the recovered pose
+            ref = self.f_track_ref(
+                self.ms, fd, jnp.int32(self.ref_kf),
+                jnp.asarray(self.last_Tcw, jnp.float32))
+            if int(ref.n_matches_mm) >= t.min_matches_ref_keyframe:
+                res2 = self.f_track(self.ms, fd, ref.Tcw, ref.assoc,
+                                    ref.inlier)
+                res = res2 if int(res2.n_inliers_map) > int(res.n_inliers_map)                     else res
 
         n_map_inliers = int(res.n_inliers_map)
         self.ms = res.ms
-        lost = n_map_inliers < self.cfg.tracking.motion_model_threshold
+        # TrackLocalMap acceptance (Tracking.cc:1060-1072)
+        lost = n_map_inliers < t.local_map_tracking_threshold
         if lost:
             self.state = tracking.LOST
             self.velocity = None

@@ -87,7 +87,7 @@ def test_loop_closing_orbit(rng):
         l, r = synthetic.render_stereo(scene, cfg.camera, T, rng, 1.0)
         out = eng.track_stereo(l, r, 0.1 * i)
         tracked += out is not None
-    assert tracked > n_frames * 0.9, (tracked, eng.stats)
+    assert tracked > n_frames * 0.85, (tracked, eng.stats)
     # the orbit returns to its start: the loop must be detected and closed
     assert eng.stats["loops_closed"] >= 1, eng.stats
 

@@ -82,16 +82,16 @@ def test_initializer_homography_path(rng):
 def test_mono_slam_sequence(rng):
     cfg = SlamConfig(
         camera=CAM,
-        orb=OrbConfig(n_features=800),
+        orb=OrbConfig(n_features=2000),  # mono init needs dense level-0 kps
         capacity=CapacityConfig(max_keyframes=64, max_map_points=1 << 14,
                                 local_ba_keyframes=8, local_ba_points=2048),
         sensor=MONOCULAR)
-    scene = synthetic.make_scene(rng, 900, extent=(14.0, 9.0, 40.0),
-                                 z_near=3.0)
+    scene = synthetic.make_scene(rng, 1800, extent=(14.0, 9.0, 9.0),
+                                 z_near=2.5)  # shallow, TUM-desk-like depth
     # sideways-dominant motion for initialization parallax
     n_frames = 25
     poses_gt = [synthetic.look_ahead_pose(
-        np.array([0.22 * i, 0.0, 0.12 * i])) for i in range(n_frames)]
+        np.array([0.3 * i, 0.0, 0.1 * i])) for i in range(n_frames)]
     eng = SlamEngine(cfg, enable_loop_closing=False)
     tracked = 0
     for i, T in enumerate(poses_gt):
@@ -113,5 +113,5 @@ def test_mono_slam_sequence(rng):
     # first frames before init aren't in the estimate; align what exists
     est_c, gt_c = np.asarray(est_c), np.asarray(gt_c[-len(est_c):])
     rmse = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=True)
-    path_len = 0.25 * n_frames
+    path_len = 0.32 * n_frames
     assert rmse < 0.03 * path_len, (rmse, eng.stats)
