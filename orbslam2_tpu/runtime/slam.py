@@ -54,8 +54,8 @@ class SlamEngine:
         else:
             self.frontend = frame_mod.make_frontend_mono(cfg)
         (self.f_init, self.f_track, self.f_track_ref, self.f_insert_kf,
-         self.f_ref_tracked,
-         self.f_pose_cov) = tracking.make_tracking_fns(cfg)
+         self.f_ref_tracked, self.f_pose_cov,
+         self.f_apply_counters) = tracking.make_tracking_fns(cfg)
         (self.f_local_ba, self.f_cull_mp, self.f_cull_kf,
          self.f_fuse) = local_mapping.make_mapping_fns(cfg)
         (self.f_triangulate,
@@ -130,7 +130,7 @@ class SlamEngine:
                 res = res2 if int(res2.n_inliers_map) > int(res.n_inliers_map)                     else res
 
         n_map_inliers = int(res.n_inliers_map)
-        self.ms = res.ms
+        self._absorb_track_counters(res)
         # TrackLocalMap acceptance (Tracking.cc:1060-1072)
         lost = n_map_inliers < t.local_map_tracking_threshold
         if lost:
@@ -243,6 +243,12 @@ class SlamEngine:
         self.stats["mp_created"] += int(n_pts)
         self._record_traj(timestamp, self.last_Tcw)
         return True
+
+    def _absorb_track_counters(self, res) -> None:
+        """Fold per-frame visible/found masks into the map.  The async
+        engine overrides this to accumulate instead (single-writer rule)."""
+        self.ms = self.f_apply_counters(self.ms, res.visible_mask,
+                                        res.found_mask)
 
     def _predict_pose(self) -> np.ndarray:
         if self.velocity is not None:

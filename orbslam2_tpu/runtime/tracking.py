@@ -40,7 +40,6 @@ LOST = 3
 
 
 class TrackResult(NamedTuple):
-    ms: M.MapState
     Tcw: jax.Array
     assoc: jax.Array       # [N] feature → map-point id (−1 none)
     inlier: jax.Array      # [N] bool pose-opt inliers
@@ -49,6 +48,8 @@ class TrackResult(NamedTuple):
     n_matches_mm: jax.Array   # stage-1 match count pre-optimization
     n_tracked_close: jax.Array     # close stereo points tracked (KF policy)
     n_nontracked_close: jax.Array  # close stereo points not yet in the map
+    visible_mask: jax.Array        # [P] frustum-visible live points
+    found_mask: jax.Array          # [P] matched-inlier points
 
 
 def _sigma2_table(cfg: SlamConfig) -> np.ndarray:
@@ -174,27 +175,28 @@ def make_tracking_fns(cfg: SlamConfig):
             cam, pose1, obs2, n_rounds=4, iters_per_round=10)
 
         # ---- visibility / found statistics (MapPoint::IncreaseVisible /
-        # IncreaseFound, Tracking.cc:1242-1291 + 1050-1060) ----
+        # IncreaseFound, Tracking.cc:1242-1291 + 1050-1060) — returned as
+        # masks so the map update can be applied synchronously or batched
+        # by the async mapping worker ----
         visible, _, _, _, _ = cam_mod.in_frustum(
             cam, pose2, ms.mp_pos, 0.8 * ms.mp_min_dist,
             1.2 * ms.mp_max_dist, normals)
-        visible = visible & ms.mp_valid
-        mp_visible = ms.mp_visible + visible.astype(jnp.int32)
+        visible_mask = visible & ms.mp_valid
         found_ok = (assoc >= 0) & inl2
-        fidx = jnp.where(found_ok, assoc, 0)
-        mp_found = ms.mp_found.at[fidx].add(found_ok.astype(jnp.int32))
-        ms = ms._replace(mp_visible=mp_visible, mp_found=mp_found)
+        found_mask = jnp.zeros((ms.P,), bool).at[
+            jnp.where(found_ok, assoc, ms.P)].set(True)
 
         assoc_final = jnp.where(inl2, assoc, M.NO_MP)
         # close-point bookkeeping for NeedNewKeyFrame c1c (Tracking.cc:1106-1124)
         close = fd.valid & (fd.depth > 0) & (fd.depth < depth_cutoff)
         tracked_close = jnp.sum((close & (assoc_final >= 0)).astype(jnp.int32))
         nontracked_close = jnp.sum((close & (assoc_final < 0)).astype(jnp.int32))
-        return TrackResult(ms=ms, Tcw=pose2, assoc=assoc_final, inlier=inl2,
+        return TrackResult(Tcw=pose2, assoc=assoc_final, inlier=inl2,
                            n_inliers_mm=n1, n_inliers_map=n2,
                            n_matches_mm=n_mm_matches,
                            n_tracked_close=tracked_close,
-                           n_nontracked_close=nontracked_close)
+                           n_nontracked_close=nontracked_close,
+                           visible_mask=visible_mask, found_mask=found_mask)
 
     # ------------------------------------------------ reference-KF fallback
     @jax.jit
@@ -218,11 +220,13 @@ def make_tracking_fns(cfg: SlamConfig):
         close = fd.valid & (fd.depth > 0) & (fd.depth < depth_cutoff)
         tracked_close = jnp.sum((close & (assoc_final >= 0)).astype(jnp.int32))
         nontracked_close = jnp.sum((close & (assoc_final < 0)).astype(jnp.int32))
-        return TrackResult(ms=ms, Tcw=pose, assoc=assoc_final, inlier=inl,
+        nofp = jnp.zeros((ms.P,), bool)
+        return TrackResult(Tcw=pose, assoc=assoc_final, inlier=inl,
                            n_inliers_mm=n, n_inliers_map=n,
                            n_matches_mm=n_matches,
                            n_tracked_close=tracked_close,
-                           n_nontracked_close=nontracked_close)
+                           n_nontracked_close=nontracked_close,
+                           visible_mask=nofp, found_mask=nofp)
 
     # ------------------------------------------------------ keyframe insert
     @jax.jit
@@ -268,6 +272,14 @@ def make_tracking_fns(cfg: SlamConfig):
         return ms, jnp.sum(ok_new.astype(jnp.int32))
 
     @jax.jit
+    def apply_counters(ms: M.MapState, visible_mask: jax.Array,
+                       found_mask: jax.Array) -> M.MapState:
+        """Fold per-frame visible/found masks into the map counters."""
+        return ms._replace(
+            mp_visible=ms.mp_visible + visible_mask.astype(jnp.int32),
+            mp_found=ms.mp_found + found_mask.astype(jnp.int32))
+
+    @jax.jit
     def pose_covariance(ms: M.MapState, fd: FrameData, Tcw: jax.Array,
                         assoc: jax.Array) -> jax.Array:
         """6×6 pose covariance = inverse GN Hessian of the reprojection
@@ -293,7 +305,7 @@ def make_tracking_fns(cfg: SlamConfig):
         return jnp.sum(good.astype(jnp.int32))
 
     return (init_stereo, track, track_ref_kf, insert_keyframe,
-            ref_tracked_count, pose_covariance)
+            ref_tracked_count, pose_covariance, apply_counters)
 
 
 def make_mono_init_fns(cfg: SlamConfig):
