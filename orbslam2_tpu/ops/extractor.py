@@ -134,21 +134,37 @@ def _moment_kernels():
     disc = pattern_mod.ic_angle_disc()
     r = pattern_mod.HALF_PATCH
     coords = np.arange(-r, r + 1, dtype=np.float32)
-    kx = disc * coords[None, :]
-    ky = disc * coords[:, None]
-    return np.stack([kx, ky])
+    kx = (disc * coords[None, :]).reshape(-1)
+    ky = (disc * coords[:, None]).reshape(-1)
+    return np.stack([kx, ky], axis=-1)        # [961, 2]
 
 
 def _orientation_maps(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Level image → (m10 map, m01 map): intensity moments over the
-    orientation disc at every pixel, one fused 2-channel convolution."""
-    k = jnp.asarray(_moment_kernels())        # [2, 31, 31]
+    """Level image → (m10 map, m01 map) at every pixel.  Kept for oracle
+    tests; production uses keypoint_angles (per-keypoint gather — moments
+    at every pixel would be a single-channel 31×31 conv, which lowers
+    poorly on TPU and wastes ~1000× the work)."""
+    k = jnp.asarray(_moment_kernels().reshape(31, 31, 2).transpose(2, 0, 1))
     r = pattern_mod.HALF_PATCH
     x = jnp.pad(img, ((r, r), (r, r)), mode="edge")[None, None]
     out = jax.lax.conv_general_dilated(
         x, k[:, None], (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
     return out[0], out[1]                     # m10, m01
+
+
+def keypoint_angles(level_img: jax.Array, xy: jax.Array) -> jax.Array:
+    """IC angles at the keypoints only: gather [cap, 31, 31] patches and
+    contract with the two moment masks on the MXU ([cap, 961] × [961, 2])."""
+    r = pattern_mod.HALF_PATCH
+    d = jnp.arange(-r, r + 1)
+    gy = xy[:, 1:2, None] + d[None, :, None]
+    gx = xy[:, 0:1, None].transpose(0, 2, 1) + d[None, None, :]
+    gy = jnp.broadcast_to(gy, (xy.shape[0], 31, 31))
+    gx = jnp.broadcast_to(gx, (xy.shape[0], 31, 31))
+    patches = level_img.at[gy, gx].get(mode="clip").reshape(-1, 961)
+    m = patches @ jnp.asarray(_moment_kernels())     # [cap, 2] = m10, m01
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def _descriptors(blurred: jax.Array, xy: jax.Array, angle: jax.Array
@@ -177,9 +193,7 @@ def extract_level(level_img: jax.Array, cap: int, cfg: OrbConfig
     xy, resp, valid = _select_keypoints(
         score, cap, float(cfg.ini_th_fast), float(cfg.min_th_fast),
         border=cfg.edge_threshold)
-    m10, m01 = _orientation_maps(level_img)
-    kx, ky = xy[:, 0], xy[:, 1]
-    angle = jnp.arctan2(m01[ky, kx], m10[ky, kx])
+    angle = keypoint_angles(level_img, xy)
     blurred = image_ops.gaussian_blur(level_img, 7, 2.0)
     desc = _descriptors(blurred, xy, angle)
     return xy.astype(jnp.float32), angle, resp, valid, desc
