@@ -2,14 +2,19 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the full per-frame hot path (the analogue of the reference's
-``Tools/Benchmarks`` per-frame `TrackX duration` timing): ORB frontend
-(pyramid, FAST, BRIEF, stereo matching) + two-stage projection matching +
-two LM pose optimizations against a populated map, steady-state jitted.
+Measures the full per-frame tracking hot path — ORB frontend (pyramid,
+FAST, BRIEF, stereo matching) + two-stage projection matching + two LM
+pose optimizations against a live map — in the streaming-window mode
+(runtime/streaming.py): a lax.scan carries (pose, velocity, associations)
+across frames so a window of frames is one device program and one
+device→host transfer.  This is the localization-mode serving path (the
+reference benchmarks LOC mode too, Tools/Benchmarks/executeBenchmarks.sh)
+and the front half of SLAM mode; on remote-attached TPUs it is also the
+only measurement not dominated by tunnel round-trip latency.
 
-vs_baseline: the reference publishes no numeric tables (BASELINE.md);
-its claim is real-time tracking at camera rate on an i7 — the fastest
-camera config in the repo is 30 fps (Config/RealSense-D435i-IRD.yaml), so
+vs_baseline: the reference publishes no numeric tables (BASELINE.md); its
+claim is real-time tracking at camera rate on an i7 — the fastest camera
+config in the repo is 30 fps (Config/RealSense-D435i-IRD.yaml), so
 vs_baseline = fps / 30.
 """
 
@@ -20,18 +25,18 @@ import time
 
 import numpy as np
 
+REFERENCE_FPS = 30.0  # camera-rate real-time claim, best case in repo
+WINDOW = 8            # frames per device program
+
+
 def _enable_compile_cache():
-    """Persistent XLA compile cache: first bench run pays compiles, later
-    runs (and later driver rounds) start hot.  Must use jax.config (this
-    image's sitecustomize imports jax before us, so env vars are too
-    late)."""
+    """Persistent XLA compile cache (jax.config, not env: this image\'s
+    sitecustomize imports jax before us)."""
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
-REFERENCE_FPS = 30.0  # camera-rate real-time claim, best case in repo
 
 
 def main():
@@ -42,6 +47,7 @@ def main():
     from orbslam2_tpu.config import (CameraConfig, CapacityConfig, OrbConfig,
                                      STEREO, SlamConfig)
     from orbslam2_tpu.runtime.slam import SlamEngine
+    from orbslam2_tpu.runtime.streaming import make_window_tracker
     from orbslam2_tpu.utils import synthetic
 
     cfg = SlamConfig(
@@ -56,34 +62,37 @@ def main():
     rng = np.random.default_rng(0)
     scene = synthetic.make_scene(rng, 900, extent=(14.0, 9.0, 40.0),
                                  z_near=3.0)
-    poses = synthetic.straight_trajectory(12, step=0.25)
+    poses = synthetic.straight_trajectory(8 + WINDOW, step=0.25)
     frames = [synthetic.render_stereo(scene, cfg.camera, T, rng, noise=1.0)
               for T in poses]
 
+    # build a live map (sync SLAM) + warm the tracking jits
     eng = SlamEngine(cfg, enable_loop_closing=False)
-    # build a live map + warm every jit cache
-    for i, (lf, rt) in enumerate(frames[:8]):
-        eng.track_stereo(lf, rt, timestamp=0.1 * i)
+    for i in range(8):
+        eng.track_stereo(*frames[i], timestamp=0.1 * i)
 
-    # steady-state timing of the tracking step (device-resident inputs)
-    lf = jnp.asarray(frames[8][0], jnp.float32)
-    rt = jnp.asarray(frames[8][1], jnp.float32)
-    Tcw_pred = jnp.asarray(eng._predict_pose(), jnp.float32)
+    # streaming window over the next WINDOW frames, device-resident
+    left = jnp.asarray(np.stack([f[0] for f in frames[8:8 + WINDOW]]),
+                       jnp.float32)
+    right = jnp.asarray(np.stack([f[1] for f in frames[8:8 + WINDOW]]),
+                        jnp.float32)
+    track_window = make_window_tracker(cfg)
+    Tprev = jnp.asarray(eng.last_Tcw, jnp.float32)
+    vel_inv = (np.linalg.inv(eng.velocity) if eng.velocity is not None
+               else np.eye(4, dtype=np.float32))
+    Tprev2 = jnp.asarray((vel_inv @ eng.last_Tcw).astype(np.float32))
+    args = (eng.ms, left, right, Tprev, Tprev2, eng.last_assoc,
+            eng.last_inlier, jnp.int32(eng.ref_kf))
+    out = track_window(*args)
+    jax.block_until_ready(out.poses)   # compile + warm
 
-    def step():
-        fd = eng.frontend(lf, rt)
-        res = eng.f_track(eng.ms, fd, Tcw_pred, eng.last_assoc,
-                          eng.last_inlier)
-        return res.Tcw
-
-    jax.block_until_ready(step())  # warm
-    n_iter = 20 if jax.default_backend() != "cpu" else 3
+    n_windows = 12 if jax.default_backend() != "cpu" else 2
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = step()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
-    fps = 1.0 / dt
+    for _ in range(n_windows):
+        out = track_window(*args)
+    jax.block_until_ready(out.poses)
+    dt = time.perf_counter() - t0
+    fps = (WINDOW * n_windows) / dt
 
     print(json.dumps({
         "metric": "stereo_tracking_fps_per_chip",

@@ -110,26 +110,35 @@ class SlamEngine:
 
         t = self.cfg.tracking
         Tcw_pred = self._predict_pose()
+        ref_kf = jnp.int32(self.ref_kf)
         res = self.f_track(self.ms, fd, jnp.asarray(Tcw_pred, jnp.float32),
-                           self.last_assoc, self.last_inlier)
-        if (int(res.n_matches_mm) < t.speedup_matches_threshold
-                or int(res.n_inliers_mm) < t.motion_model_threshold):
+                           self.last_assoc, self.last_inlier, ref_kf)
+        # ONE device→host fetch per frame: everything the state machine
+        # needs is packed in res.summary (a remote-attached TPU pays a full
+        # tunnel round trip per fetch)
+        sm = tracking.Summary(np.asarray(res.summary))
+        if (sm.n_matches_mm < t.speedup_matches_threshold
+                or sm.n_inliers_mm < t.motion_model_threshold):
             # widen the search window ×2 (Tracking.cc:985-996)
             res = self.f_track(self.ms, fd,
                                jnp.asarray(Tcw_pred, jnp.float32),
-                               self.last_assoc, self.last_inlier, wide=True)
-        if int(res.n_inliers_map) < t.local_map_tracking_threshold:
+                               self.last_assoc, self.last_inlier, ref_kf,
+                               wide=True)
+            sm = tracking.Summary(np.asarray(res.summary))
+        if sm.n_inliers_map < t.local_map_tracking_threshold:
             # motion model failed → TrackReferenceKeyFrame (Tracking.cc:419),
             # then re-run the full two-stage track from the recovered pose
             ref = self.f_track_ref(
-                self.ms, fd, jnp.int32(self.ref_kf),
-                jnp.asarray(self.last_Tcw, jnp.float32))
-            if int(ref.n_matches_mm) >= t.min_matches_ref_keyframe:
+                self.ms, fd, ref_kf, jnp.asarray(self.last_Tcw, jnp.float32))
+            sm_ref = tracking.Summary(np.asarray(ref.summary))
+            if sm_ref.n_matches_mm >= t.min_matches_ref_keyframe:
                 res2 = self.f_track(self.ms, fd, ref.Tcw, ref.assoc,
-                                    ref.inlier)
-                res = res2 if int(res2.n_inliers_map) > int(res.n_inliers_map)                     else res
+                                    ref.inlier, ref_kf)
+                sm2 = tracking.Summary(np.asarray(res2.summary))
+                if sm2.n_inliers_map > sm.n_inliers_map:
+                    res, sm = res2, sm2
 
-        n_map_inliers = int(res.n_inliers_map)
+        n_map_inliers = sm.n_inliers_map
         self._absorb_track_counters(res)
         # TrackLocalMap acceptance (Tracking.cc:1060-1072)
         lost = n_map_inliers < t.local_map_tracking_threshold
@@ -141,17 +150,22 @@ class SlamEngine:
             return None
 
         self.state = tracking.OK
-        Tcw = np.asarray(res.Tcw)
+        Tcw = sm.Tcw
         if self.last_Tcw is not None:
             self.velocity = Tcw @ np.linalg.inv(self.last_Tcw)
         self.last_Tcw = Tcw
+        self._last_Tcw_dev = res.Tcw
         self.last_assoc = res.assoc
         self.last_inlier = res.inlier
 
-        if not self.localization_only and self._need_new_keyframe(n_map_inliers, fd, res):
+        # sm.Tcr was computed against the ref KF at track time — record
+        # that same id even if a new keyframe is created below
+        ref_at_track = self.ref_kf
+        if not self.localization_only and self._need_new_keyframe(sm):
             self._create_keyframe(fd, res, timestamp)
 
-        self._record_traj(timestamp, Tcw)
+        self.trajectory.append(TrajectoryEntry(
+            timestamp, sm.Tcr, ref_at_track, False))
         self.last_fd = fd
         self.frame_id += 1
         return Tcw
@@ -255,21 +269,21 @@ class SlamEngine:
             return (self.velocity @ self.last_Tcw).astype(np.float32)
         return self.last_Tcw.astype(np.float32)
 
-    def _need_new_keyframe(self, n_inliers: int, fd, res) -> bool:
+    def _need_new_keyframe(self, sm) -> bool:
         """NeedNewKeyFrame (Tracking.cc:1076-1160), with the synchronous-
-        mapping simplification that the mapper is always idle."""
+        mapping simplification that the mapper is always idle.  All inputs
+        come pre-fetched in the frame summary (no extra device reads)."""
         t = self.cfg.tracking
         max_frames = int(self.cfg.camera.fps)
         frames_since = self.frame_id - self.last_kf_frame_id
         if self.n_kfs >= self.cfg.capacity.max_keyframes - 1:
             return False
-        min_obs = 3 if self.n_kfs > 2 else 2
-        ref_matches = int(self.f_ref_tracked(
-            self.ms, jnp.int32(self.ref_kf), jnp.int32(min_obs)))
-        ref_matches = max(ref_matches, 1)
+        n_inliers = sm.n_inliers_map
+        ref_matches = max(
+            sm.ref_tracked3 if self.n_kfs > 2 else sm.ref_tracked2, 1)
         # stereo close-point pressure (Tracking.cc:1106-1124)
-        need_close = (int(res.n_tracked_close) < 100
-                      and int(res.n_nontracked_close) > 70)
+        need_close = (sm.n_tracked_close < 100
+                      and sm.n_nontracked_close > 70)
         th_ref_ratio = 0.75 if self.cfg.sensor != MONOCULAR else 0.9
         if self.n_kfs < 2:
             th_ref_ratio = 0.4

@@ -40,16 +40,47 @@ LOST = 3
 
 
 class TrackResult(NamedTuple):
-    Tcw: jax.Array
+    """Everything the host state machine needs, with all scalars packed
+    into ONE flat vector: a device→host fetch costs a full tunnel round
+    trip (~tens of ms on remote-attached TPUs), so the per-frame contract
+    is exactly one small transfer (``summary``), with the big arrays
+    (assoc/inlier/masks) staying resident on device."""
+
+    Tcw: jax.Array         # [4,4] device copy (feeds the next track call)
     assoc: jax.Array       # [N] feature → map-point id (−1 none)
     inlier: jax.Array      # [N] bool pose-opt inliers
-    n_inliers_mm: jax.Array   # stage-1 (motion model) inlier count
-    n_inliers_map: jax.Array  # stage-2 (local map) inlier count
-    n_matches_mm: jax.Array   # stage-1 match count pre-optimization
-    n_tracked_close: jax.Array     # close stereo points tracked (KF policy)
-    n_nontracked_close: jax.Array  # close stereo points not yet in the map
+    summary: jax.Array     # [40] f32, see SUMMARY_* layout below
     visible_mask: jax.Array        # [P] frustum-visible live points
     found_mask: jax.Array          # [P] matched-inlier points
+
+    # summary layout
+    # [0:16]  Tcw row-major
+    # [16:32] Tcr = Tcw · kf_pose[ref]⁻¹ row-major (trajectory record)
+    # [32] n_matches_mm   [33] n_inliers_mm   [34] n_inliers_map
+    # [35] n_tracked_close  [36] n_nontracked_close
+    # [37] ref_tracked(minObs=2)  [38] ref_tracked(minObs=3)  [39] pad
+
+
+def pack_summary(Tcw, Tcr, scalars) -> jax.Array:
+    flat = [Tcw.reshape(16), Tcr.reshape(16),
+            jnp.stack([jnp.asarray(x, jnp.float32) for x in scalars])]
+    v = jnp.concatenate(flat)
+    return jnp.pad(v, (0, 40 - v.shape[0]))
+
+
+class Summary:
+    """Host-side view over the fetched summary vector."""
+
+    def __init__(self, vec: np.ndarray):
+        self.Tcw = np.asarray(vec[0:16], np.float32).reshape(4, 4)
+        self.Tcr = np.asarray(vec[16:32], np.float32).reshape(4, 4)
+        self.n_matches_mm = int(vec[32])
+        self.n_inliers_mm = int(vec[33])
+        self.n_inliers_map = int(vec[34])
+        self.n_tracked_close = int(vec[35])
+        self.n_nontracked_close = int(vec[36])
+        self.ref_tracked2 = int(vec[37])
+        self.ref_tracked3 = int(vec[38])
 
 
 def _sigma2_table(cfg: SlamConfig) -> np.ndarray:
@@ -117,10 +148,17 @@ def make_tracking_fns(cfg: SlamConfig):
         return ms, assoc, jnp.sum(ok.astype(jnp.int32))
 
     # --------------------------------------------------------------- track
+    def _ref_tracked(ms, ref_kf, min_obs):
+        mp = ms.kf_mp[ref_kf]
+        okk = (mp >= 0) & ms.kf_kp_valid[ref_kf]
+        idxk = jnp.where(okk, mp, 0)
+        good = okk & ms.mp_valid[idxk] & (ms.mp_n_obs[idxk] >= min_obs)
+        return jnp.sum(good.astype(jnp.int32))
+
     @functools.partial(jax.jit, static_argnames=("wide",))
     def track(ms: M.MapState, fd: FrameData, Tcw_pred: jax.Array,
               last_assoc: jax.Array, last_ok: jax.Array,
-              wide: bool = False) -> TrackResult:
+              ref_kf: jax.Array, wide: bool = False) -> TrackResult:
         # ---- stage 1: motion model vs last frame's map points ----
         lq_ok = (last_assoc >= 0) & last_ok
         idx = jnp.where(lq_ok, last_assoc, 0)
@@ -191,17 +229,18 @@ def make_tracking_fns(cfg: SlamConfig):
         close = fd.valid & (fd.depth > 0) & (fd.depth < depth_cutoff)
         tracked_close = jnp.sum((close & (assoc_final >= 0)).astype(jnp.int32))
         nontracked_close = jnp.sum((close & (assoc_final < 0)).astype(jnp.int32))
+        Tcr = pose2 @ lie.se3_inv(ms.kf_pose[ref_kf])
+        summary = pack_summary(pose2, Tcr, [
+            n_mm_matches, n1, n2, tracked_close, nontracked_close,
+            _ref_tracked(ms, ref_kf, 2), _ref_tracked(ms, ref_kf, 3), 0])
         return TrackResult(Tcw=pose2, assoc=assoc_final, inlier=inl2,
-                           n_inliers_mm=n1, n_inliers_map=n2,
-                           n_matches_mm=n_mm_matches,
-                           n_tracked_close=tracked_close,
-                           n_nontracked_close=nontracked_close,
+                           summary=summary,
                            visible_mask=visible_mask, found_mask=found_mask)
 
     # ------------------------------------------------ reference-KF fallback
     @jax.jit
     def track_ref_kf(ms: M.MapState, fd: FrameData, ref_kf: jax.Array,
-                     Tcw_init: jax.Array) -> TrackResult:
+                     Tcw_init: jax.Array) -> TrackResult:  # noqa: D401
         """TrackReferenceKeyFrame (Tracking.cc:855): descriptor matching
         against one keyframe (brute-force replaces SearchByFboW) + pose opt
         from the last frame's pose."""
@@ -221,11 +260,12 @@ def make_tracking_fns(cfg: SlamConfig):
         tracked_close = jnp.sum((close & (assoc_final >= 0)).astype(jnp.int32))
         nontracked_close = jnp.sum((close & (assoc_final < 0)).astype(jnp.int32))
         nofp = jnp.zeros((ms.P,), bool)
+        Tcr = pose @ lie.se3_inv(ms.kf_pose[ref_kf])
+        summary = pack_summary(pose, Tcr, [
+            n_matches, n, n, tracked_close, nontracked_close,
+            _ref_tracked(ms, ref_kf, 2), _ref_tracked(ms, ref_kf, 3), 0])
         return TrackResult(Tcw=pose, assoc=assoc_final, inlier=inl,
-                           n_inliers_mm=n, n_inliers_map=n,
-                           n_matches_mm=n_matches,
-                           n_tracked_close=tracked_close,
-                           n_nontracked_close=nontracked_close,
+                           summary=summary,
                            visible_mask=nofp, found_mask=nofp)
 
     # ------------------------------------------------------ keyframe insert
