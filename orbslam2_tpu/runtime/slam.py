@@ -110,8 +110,14 @@ class SlamEngine:
 
         t = self.cfg.tracking
         Tcw_pred = self._predict_pose()
-        ref_kf = jnp.int32(self.ref_kf)
-        res = self.f_track(self.ms, fd, jnp.asarray(Tcw_pred, jnp.float32),
+        # capture ONE consistent (map snapshot, reference-KF id) pair for
+        # the whole frame: in the async engine the mapping worker swaps
+        # both concurrently, and mixing a Tcr computed against the old ref
+        # with the new ref id corrupts the reconstructed trajectory
+        ms = self.ms
+        ref_at_track = self.ref_kf
+        ref_kf = jnp.int32(ref_at_track)
+        res = self.f_track(ms, fd, jnp.asarray(Tcw_pred, jnp.float32),
                            self.last_assoc, self.last_inlier, ref_kf)
         # ONE device→host fetch per frame: everything the state machine
         # needs is packed in res.summary (a remote-attached TPU pays a full
@@ -120,7 +126,7 @@ class SlamEngine:
         if (sm.n_matches_mm < t.speedup_matches_threshold
                 or sm.n_inliers_mm < t.motion_model_threshold):
             # widen the search window ×2 (Tracking.cc:985-996)
-            res = self.f_track(self.ms, fd,
+            res = self.f_track(ms, fd,
                                jnp.asarray(Tcw_pred, jnp.float32),
                                self.last_assoc, self.last_inlier, ref_kf,
                                wide=True)
@@ -129,10 +135,10 @@ class SlamEngine:
             # motion model failed → TrackReferenceKeyFrame (Tracking.cc:419),
             # then re-run the full two-stage track from the recovered pose
             ref = self.f_track_ref(
-                self.ms, fd, ref_kf, jnp.asarray(self.last_Tcw, jnp.float32))
+                ms, fd, ref_kf, jnp.asarray(self.last_Tcw, jnp.float32))
             sm_ref = tracking.Summary(np.asarray(ref.summary))
             if sm_ref.n_matches_mm >= t.min_matches_ref_keyframe:
-                res2 = self.f_track(self.ms, fd, ref.Tcw, ref.assoc,
+                res2 = self.f_track(ms, fd, ref.Tcw, ref.assoc,
                                     ref.inlier, ref_kf)
                 sm2 = tracking.Summary(np.asarray(res2.summary))
                 if sm2.n_inliers_map > sm.n_inliers_map:
@@ -158,9 +164,8 @@ class SlamEngine:
         self.last_assoc = res.assoc
         self.last_inlier = res.inlier
 
-        # sm.Tcr was computed against the ref KF at track time — record
-        # that same id even if a new keyframe is created below
-        ref_at_track = self.ref_kf
+        # sm.Tcr was computed against ref_at_track — record that same id
+        # even if a new keyframe is created below / published concurrently
         if not self.localization_only and self._need_new_keyframe(sm):
             self._create_keyframe(fd, res, timestamp)
 

@@ -278,6 +278,10 @@ def make_tracking_fns(cfg: SlamConfig):
         """CreateNewKeyFrame (Tracking.cc:1162): write the KF, record
         existing associations, create new map points from close stereo
         depth for unmatched features."""
+        # drop associations to points culled between track time and
+        # (possibly queued, async) insertion time
+        assoc = jnp.where(ms.mp_valid[jnp.where(assoc >= 0, assoc, 0)]
+                          & (assoc >= 0), assoc, M.NO_MP)
         # new close points: unmatched, depth ∈ (0, cutoff]; if fewer than
         # newKeyframeThreshold close ones exist, take the nearest 100
         # regardless of cutoff (Tracking.cc:1188-1219 semantics)
