@@ -33,6 +33,7 @@ from orbslam2_tpu.config import OrbConfig
 from orbslam2_tpu.ops import fast as fast_ops
 from orbslam2_tpu.ops import image as image_ops
 from orbslam2_tpu.ops import pattern as pattern_mod
+from orbslam2_tpu.ops import sampling
 
 CELL = 30  # detection/bucketing cell size in px (ORBextractor.cc:779 W=30)
 TOPK_PER_CELL = 8
@@ -107,8 +108,21 @@ def _select_keypoints(score: jax.Array, cap: int, ini_th: float, min_th: float,
     keep = (cells > ini_th) | ((cells > min_th) & (cell_max <= ini_th))
     cells = jnp.where(keep, cells, 0.0)
 
-    # per-cell top-k, rank-penalized so cells round-robin by rank
-    vals, idx = jax.lax.top_k(cells, TOPK_PER_CELL)              # [C, K]
+    # per-cell top-k, rank-penalized so cells round-robin by rank.
+    # Iterative max+mask instead of lax.top_k: top_k lowers to a full
+    # per-row sort (measured ~6 ms here); 8 masked max passes are pure
+    # VPU elementwise work.
+    vals_l, idx_l = [], []
+    work = cells
+    col = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+    for _ in range(TOPK_PER_CELL):
+        m = jnp.max(work, axis=1)                                # [C]
+        am = jnp.argmax(work, axis=1)                            # [C]
+        vals_l.append(m)
+        idx_l.append(am)
+        work = jnp.where(col == am[:, None], -jnp.inf, work)
+    vals = jnp.stack(vals_l, axis=1)                             # [C, K]
+    idx = jnp.stack(idx_l, axis=1)
     rank_pen = jnp.arange(TOPK_PER_CELL, dtype=jnp.float32) * 1024.0
     prio = jnp.where(vals > 0.0, vals - rank_pen[None, :], -jnp.inf)
 
@@ -154,22 +168,26 @@ def _orientation_maps(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def keypoint_angles(level_img: jax.Array, xy: jax.Array) -> jax.Array:
-    """IC angles at the keypoints only: gather [cap, 31, 31] patches and
-    contract with the two moment masks on the MXU ([cap, 961] × [961, 2])."""
+    """IC angles at the keypoints only: one-hot-matmul patch extraction
+    (ops/sampling.py — TPU gathers are ~100× slower than the MXU here)
+    then contraction with the two moment masks ([cap, 961] × [961, 2])."""
     r = pattern_mod.HALF_PATCH
-    d = jnp.arange(-r, r + 1)
-    gy = xy[:, 1:2, None] + d[None, :, None]
-    gx = xy[:, 0:1, None].transpose(0, 2, 1) + d[None, None, :]
-    gy = jnp.broadcast_to(gy, (xy.shape[0], 31, 31))
-    gx = jnp.broadcast_to(gx, (xy.shape[0], 31, 31))
-    patches = level_img.at[gy, gx].get(mode="clip").reshape(-1, 961)
+    patches = sampling.extract_patches(
+        level_img, xy[:, 0], xy[:, 1], r, r).reshape(-1, 961)
     m = patches @ jnp.asarray(_moment_kernels())     # [cap, 2] = m10, m01
     return jnp.arctan2(m[:, 1], m[:, 0])
 
 
+DESC_HALF = 20   # ≥ ceil(PATTERN_RADIUS·√2): covers any rotated sample
+
+
 def _descriptors(blurred: jax.Array, xy: jax.Array, angle: jax.Array
                  ) -> jax.Array:
-    """Rotated BRIEF: [cap, 2] int coords + [cap] angles → [cap, 8] uint32."""
+    """Rotated BRIEF: [cap, 2] int coords + [cap] angles → [cap, 8] uint32.
+
+    One 49×49 patch per keypoint (one-hot matmuls) + one-hot point
+    sampling of the 512 steered pattern positions — all MXU work, no
+    image-wide gathers (ops/sampling.py rationale)."""
     pat = jnp.asarray(pattern_mod.brief_pattern())      # [256, 4] int32
     px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)  # [512]
     py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
@@ -177,9 +195,16 @@ def _descriptors(blurred: jax.Array, xy: jax.Array, angle: jax.Array
     # steered pattern, rounded to ints (computeOrbDescriptor's cvRound)
     rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
     ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
-    gx = (xy[:, 0:1] + rx).astype(jnp.int32)
-    gy = (xy[:, 1:2] + ry).astype(jnp.int32)
-    vals = blurred.at[gy, gx].get(mode="clip")          # [cap, 512]
+    # edge-pad so border keypoints keep clamp-sampling semantics (the
+    # extractor's FAST border is 19 px < DESC_HALF)
+    padded = jnp.pad(blurred, DESC_HALF, mode="edge")
+    patches = sampling.extract_patches(padded, xy[:, 0] + DESC_HALF,
+                                       xy[:, 1] + DESC_HALF,
+                                       DESC_HALF, DESC_HALF)
+    vals = sampling.sample_points(
+        patches,
+        rx.astype(jnp.int32) + DESC_HALF,
+        ry.astype(jnp.int32) + DESC_HALF)               # [cap, 512]
     bits = (vals[:, :256] < vals[:, 256:])              # τ(p1 < p2)
     packed = bits.reshape(-1, 8, 32).astype(jnp.uint32)
     pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))

@@ -24,20 +24,47 @@ def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float
             for l in range(n_levels)]
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix (align_corners=False,
+    half-pixel centers — jax.image.resize 'linear' convention)."""
+    scale = n_in / n_out
+    centers = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    lo = np.floor(centers).astype(np.int64)
+    frac = centers - lo
+    lo0 = np.clip(lo, 0, n_in - 1)
+    lo1 = np.clip(lo + 1, 0, n_in - 1)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo0] += (1.0 - frac).astype(np.float32)
+    m[np.arange(n_out), lo1] += frac.astype(np.float32)
+    return m
+
+
+def resize_bilinear(img: jax.Array, h2: int, w2: int) -> jax.Array:
+    """[..., H, W] → [..., h2, w2] separable bilinear resize as two MXU
+    matmuls with constant interpolation matrices.  jax.image.resize lowers
+    to gather chains that measured 20 ms for a 5-level 640×480 pyramid on
+    TPU; this is <1 ms."""
+    h1, w1 = img.shape[-2], img.shape[-1]
+    Ry = jnp.asarray(_resize_matrix(h2, h1))       # [h2, h1]
+    Rx = jnp.asarray(_resize_matrix(w2, w1))       # [w2, w1]
+    out = jnp.einsum("ah,...hw->...aw", Ry, img)
+    return jnp.einsum("bw,...aw->...ab", Rx, out)
+
+
 def build_pyramid(img: jax.Array, n_levels: int, scale_factor: float
                   ) -> List[jax.Array]:
     """[H, W] float32 → list of n_levels arrays, level 0 = input.
 
     Resizes each level from the previous one with bilinear interpolation,
-    mirroring the reference's level-chained cv::resize(INTER_LINEAR).
+    mirroring the reference's level-chained cv::resize(INTER_LINEAR),
+    as constant-matrix MXU matmuls (see resize_bilinear).
     """
     h, w = img.shape[-2], img.shape[-1]
     shapes = pyramid_shapes(h, w, n_levels, scale_factor)
     out = [img]
     for l in range(1, n_levels):
-        prev = out[-1]
-        out.append(jax.image.resize(prev, img.shape[:-2] + shapes[l],
-                                    method="linear", antialias=False))
+        out.append(resize_bilinear(out[-1], *shapes[l]))
     return out
 
 

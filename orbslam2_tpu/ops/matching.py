@@ -244,6 +244,7 @@ def search_for_triangulation(
     num = a * kp2_xy[None, :, 0] + b * kp2_xy[None, :, 1] + c
     den = a * a + b * b
     dsq = (num * num) / jnp.maximum(den, 1e-12)             # [N1, N2]
+    sigma2 = jnp.asarray(sigma2)      # accept numpy closure-constant tables
     ep_ok = dsq < 3.84 * sigma2[kp2_level][None, :]
 
     # epipole of camera-1 center in image 2 — skip kp2 too close to it (:700)

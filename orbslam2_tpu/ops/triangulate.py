@@ -52,9 +52,9 @@ class TriangulationResult(NamedTuple):
 
 def make_triangulation_fn(cfg: SlamConfig):
     cam = cam_mod.Camera.from_config(cfg.camera)
-    sigma2 = jnp.asarray(np.array(
+    sigma2 = np.array(   # numpy: captured as a jit closure constant
         [cfg.orb.scale_factor ** (2 * l) for l in range(cfg.orb.n_levels)],
-        np.float32))
+        np.float32)
     sf = cfg.orb.scale_factor
     ratio_factor = 1.5 * sf
 
@@ -95,8 +95,10 @@ def make_triangulation_fn(cfg: SlamConfig):
         pc2 = lie.transform_points(T2, Xw[None])[0]
         p1 = cam_mod.project(cam, pc1)
         p2 = cam_mod.project(cam, pc2)
-        e1 = jnp.sum((p1 - uv1) ** 2, axis=-1) / sigma2[ms.kf_level[kf1]]
-        e2 = jnp.sum((p2 - uv2) ** 2, axis=-1) / sigma2[ms.kf_level[kf2][msafe]]
+        sigma2_j = jnp.asarray(sigma2)
+        e1 = jnp.sum((p1 - uv1) ** 2, axis=-1) / sigma2_j[ms.kf_level[kf1]]
+        e2 = jnp.sum((p2 - uv2) ** 2, axis=-1) \
+            / sigma2_j[ms.kf_level[kf2][msafe]]
 
         # scale consistency (:409-421)
         ratio_dist = d2 / jnp.maximum(d1, 1e-9)

@@ -76,7 +76,7 @@ def make_mapping_fns(cfg: SlamConfig):
     N = cfg.orb.n_features_padded
     sigma2 = np.array([cfg.orb.scale_factor ** (2 * l)
                        for l in range(cfg.orb.n_levels)], np.float32)
-    inv_sigma2 = jnp.asarray(1.0 / sigma2)
+    inv_sigma2 = (1.0 / sigma2).astype(np.float32)  # numpy: jit closure const
 
     @jax.jit
     def local_ba(ms: M.MapState, current_kf: jax.Array
@@ -133,7 +133,8 @@ def make_mapping_fns(cfg: SlamConfig):
             pt_i=jnp.where(obs_ok, lidx, 0).reshape(-1),
             uv=ms.kf_xy[window_ids].reshape(-1, 2),
             ur=ms.kf_ur[window_ids].reshape(-1),
-            inv_sigma2=inv_sigma2[ms.kf_level[window_ids]].reshape(-1),
+            inv_sigma2=jnp.asarray(inv_sigma2)[
+                ms.kf_level[window_ids]].reshape(-1),
             valid=obs_ok.reshape(-1))
         poses, points, inlier = bundle.bundle_adjust(
             cam, prob, n_free=L,

@@ -99,22 +99,24 @@ def _assoc_from_query_match(match: jax.Array, mp_ids: jax.Array, n_kp: int
 
 
 def _pose_obs_from_assoc(ms: M.MapState, fd: FrameData, assoc: jax.Array,
-                         inv_sigma2_of_level: jax.Array) -> pose_opt.PoseObs:
+                         inv_sigma2_of_level) -> pose_opt.PoseObs:
     ok = assoc >= 0
     idx = jnp.where(ok, assoc, 0)
     return pose_opt.PoseObs(
         pts_w=ms.mp_pos[idx],
         uv=fd.xy,
         ur=fd.ur,
-        inv_sigma2=inv_sigma2_of_level[fd.level],
+        inv_sigma2=jnp.asarray(inv_sigma2_of_level)[fd.level],
         valid=ok & ms.mp_valid[idx] & fd.valid)
 
 
 def make_tracking_fns(cfg: SlamConfig):
     """Build the jitted tracking step functions for a given config."""
     cam = cam_mod.Camera.from_config(cfg.camera)
-    sigma2 = jnp.asarray(_sigma2_table(cfg))
-    inv_sigma2 = 1.0 / sigma2
+    # numpy, not device arrays: these are captured as jit closure constants
+    # (see Camera.from_config for the runtime-poisoning rationale)
+    sigma2 = _sigma2_table(cfg)
+    inv_sigma2 = (1.0 / sigma2).astype(np.float32)
     sf, nl = cfg.orb.scale_factor, cfg.orb.n_levels
     tcfg = cfg.tracking
     depth_cutoff = cfg.camera.baseline * cfg.camera.th_depth \

@@ -53,7 +53,16 @@ class Camera(NamedTuple):
 
     @staticmethod
     def from_config(cfg: CameraConfig, dtype=jnp.float32) -> "Camera":
-        f = lambda v: jnp.asarray(v, dtype)
+        # IMPORTANT: fields are NUMPY scalars, never device arrays.  A
+        # Camera is captured as a closure constant by nearly every jitted
+        # function in the package; on some PJRT runtimes (observed on the
+        # remote-attached TPU plugin) capturing an eagerly-created device
+        # array as a jit constant permanently degrades *all* subsequent
+        # dispatches by ~70× runtime-wide.  NumPy constants are embedded
+        # in the executable and are always safe.
+        import numpy as np
+        npdt = np.dtype(dtype)
+        f = lambda v: np.asarray(v, npdt)[()]
         cam = Camera(
             fx=f(cfg.fx), fy=f(cfg.fy), cx=f(cfg.cx), cy=f(cfg.cy),
             k1=f(cfg.k1), k2=f(cfg.k2), p1=f(cfg.p1), p2=f(cfg.p2),
@@ -64,15 +73,17 @@ class Camera(NamedTuple):
         if cfg.has_distortion:
             # Undistort the 4 image corners to get valid bounds
             # (Frame::ComputeImageBounds semantics, Frame.cc:434-461).
+            # Computed on device, but detached to numpy before being stored
+            # (see the closure-constant rule above).
             corners = jnp.array(
                 [[0.0, 0.0], [cfg.width, 0.0], [0.0, cfg.height],
                  [cfg.width, cfg.height]], dtype)
-            und = undistort_points(cam, corners)
+            und = np.asarray(jax.jit(undistort_points)(cam, corners))
             cam = cam._replace(
-                min_x=jnp.minimum(und[0, 0], und[2, 0]),
-                max_x=jnp.maximum(und[1, 0], und[3, 0]),
-                min_y=jnp.minimum(und[0, 1], und[1, 1]),
-                max_y=jnp.maximum(und[2, 1], und[3, 1]),
+                min_x=f(min(und[0, 0], und[2, 0])),
+                max_x=f(max(und[1, 0], und[3, 0])),
+                min_y=f(min(und[0, 1], und[1, 1])),
+                max_y=f(max(und[2, 1], und[3, 1])),
             )
         return cam
 
