@@ -170,6 +170,16 @@ class CapacityConfig:
     local_ba_points: int = 4096
     reloc_candidates: int = 8
     loop_candidates: int = 8
+    # stage-2 tracking matches against a compacted top-C candidate set
+    # instead of all P map points (the reference's frustum+grid pruning,
+    # Tracking::SearchLocalPoints) — bounds the per-frame Hamming matrix
+    track_candidates: int = 4096
+    # covisible neighbours searched by CreateNewMapPoints
+    # (LocalMapping.cc:211: nn=10 stereo/RGBD, 20 mono)
+    triangulation_neighbors: int = 10
+    # KeyFrameCulling victims per pass (the reference loops until no more
+    # are redundant; we bound per-insert work and converge over frames)
+    kf_cull_victims: int = 2
     grid_cols: int = 64                    # Frame.h FRAME_GRID_COLS
     grid_rows: int = 48                    # Frame.h FRAME_GRID_ROWS
     vocab_levels: int = 6                  # BoW tree depth (k^L words)

@@ -95,19 +95,28 @@ def pose_optimization(
     delta_stereo = jnp.sqrt(CHI2_STEREO)
 
     def _normal_eq(Tcw, inlier, use_huber):
-        """One residual/Jacobian evaluation → (H, b, total weighted chi²)."""
+        """One residual/Jacobian evaluation → (H, b, total objective).
+
+        The accept test must use the SAME objective the step minimizes:
+        with the Huber kernel active that is the robustified chi²
+        ρ(χ²) = 2δ√χ² − δ² beyond δ (g2o's activeRobustChi2), NOT the raw
+        chi² — comparing raw totals lets a single gross outlier veto every
+        good step and freezes the solve."""
         e, J, is_stereo, behind = _residuals_jac(cam, Tcw, obs)
         w = obs.inv_sigma2 * inlier.astype(jnp.float32) \
             * (~behind).astype(jnp.float32)
         chi2, _ = _chi2(e, is_stereo, obs.inv_sigma2)
+        rho = chi2
         if use_huber:
             delta = jnp.where(is_stereo, delta_stereo, delta_mono)
             sq = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             w = w * jnp.where(sq > delta, delta / sq, 1.0)
+            rho = jnp.where(sq > delta, 2.0 * delta * sq - delta * delta,
+                            chi2)
         Jw = J * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J)
         b = jnp.einsum("nij,ni->j", Jw, e)
-        total = jnp.sum(jnp.where(inlier & (~behind), chi2, 0.0))
+        total = jnp.sum(jnp.where(inlier & (~behind), rho, 0.0))
         return H, b, total
 
     def lm_round(Tcw, inlier, use_huber):

@@ -50,7 +50,9 @@ class TriangulationResult(NamedTuple):
     match2: jax.Array    # [N] matched feature in KF2 (−1)
 
 
-def make_triangulation_fn(cfg: SlamConfig):
+def make_triangulation_bodies(cfg: SlamConfig):
+    """Un-jitted (triangulate_between, insert_triangulated) bodies for
+    fusion into larger programs (runtime/local_mapping.make_mapping_step)."""
     cam = cam_mod.Camera.from_config(cfg.camera)
     sigma2 = np.array(   # numpy: captured as a jit closure constant
         [cfg.orb.scale_factor ** (2 * l) for l in range(cfg.orb.n_levels)],
@@ -58,7 +60,6 @@ def make_triangulation_fn(cfg: SlamConfig):
     sf = cfg.orb.scale_factor
     ratio_factor = 1.5 * sf
 
-    @jax.jit
     def triangulate_between(ms: M.MapState, kf1: jax.Array, kf2: jax.Array
                             ) -> TriangulationResult:
         """Candidate points between keyframes kf1/kf2 from features not yet
@@ -113,18 +114,16 @@ def make_triangulation_fn(cfg: SlamConfig):
               & (d1 > 1e-3) & (d2 > 1e-3))
         return TriangulationResult(pos_w=Xw, ok=ok, match2=m)
 
-    @jax.jit
     def insert_triangulated(ms: M.MapState, kf1: jax.Array, kf2: jax.Array,
-                            tri: TriangulationResult, mp_base: jax.Array
+                            tri: TriangulationResult, kf_ordinal: jax.Array
                             ) -> Tuple[M.MapState, jax.Array]:
-        """Allocate slots for accepted candidates and add observations in
-        both keyframes."""
+        """Allocate slots for accepted candidates (reusing culled rows) and
+        add observations in both keyframes."""
         N = ms.N
-        ok = tri.ok & ((mp_base + jnp.cumsum(tri.ok.astype(jnp.int32))) <= ms.P)
-        slots = mp_base + jnp.cumsum(ok.astype(jnp.int32)) - 1
-        slots = jnp.where(ok, slots, 0).astype(jnp.int32)
+        slots, ok = M.alloc_mp_slots(ms, tri.ok)
         ms = M.add_map_points(ms, slots, tri.pos_w, ok,
-                              ref_kf=jnp.full((N,), kf1, jnp.int32))
+                              ref_kf=jnp.full((N,), kf1, jnp.int32),
+                              first_kf=jnp.full((N,), kf_ordinal, jnp.int32))
         feat_idx = jnp.arange(N, dtype=jnp.int32)
         ms = M.add_observations(ms, kf1, feat_idx,
                                 jnp.where(ok, slots, M.NO_MP), ok,
@@ -135,3 +134,9 @@ def make_triangulation_fn(cfg: SlamConfig):
         return ms, jnp.sum(ok.astype(jnp.int32))
 
     return triangulate_between, insert_triangulated
+
+
+def make_triangulation_fn(cfg: SlamConfig):
+    """Jitted (triangulate_between, insert_triangulated) pair."""
+    tri, ins = make_triangulation_bodies(cfg)
+    return jax.jit(tri), jax.jit(ins)

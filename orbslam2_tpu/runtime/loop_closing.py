@@ -48,8 +48,7 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
                            kf: jax.Array, vec: jax.Array) -> jax.Array:
         """Lowest BoW similarity to the query's covisible neighbours
         (LoopClosing.cc:160-174) — candidates must beat this."""
-        W = M.covisibility(ms)
-        neigh = (W[kf] >= 15) & ms.kf_valid & db.valid
+        neigh = (M.covisibility_row(ms, kf) >= 15) & ms.kf_valid & db.valid
         scores = db.bow @ vec
         return jnp.min(jnp.where(neigh, scores, jnp.inf))
 
@@ -99,10 +98,8 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
         Tcw = lie.rt_to_mat(Rc, tc / jnp.maximum(sc, 1e-9))
         q = M.mp_projection_query(ms)
         # restrict to points seen by kf2's covisible neighbourhood
-        W = M.covisibility(ms)
-        neigh = (W[kf2] >= 15) | (jnp.arange(K) == kf2)
-        inc = M.obs_incidence(ms)
-        in_neigh = jnp.any(inc & neigh[:, None], axis=0)
+        neigh = (M.covisibility_row(ms, kf2) >= 15) | (jnp.arange(K) == kf2)
+        in_neigh = M.points_of_kfs(ms, neigh)
         q = q._replace(valid=q.valid & in_neigh)
         m, d, _ = matching.search_by_projection(
             cam, Tcw, q, ms.kf_xy[kf1], ms.kf_level[kf1], ms.kf_desc[kf1],
@@ -178,14 +175,11 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
         """SearchAndFuse (LoopClosing.cc:553-577, 621): after the pose
         graph aligns both sides of the loop, merge the duplicated geometry —
         loop-region points into the current KF and vice versa."""
-        W = M.covisibility(ms)
-        inc = M.obs_incidence(ms)
-        neigh_l = (W[kf_loop] >= 15).at[kf_loop].set(True)
-        loop_pts = jnp.any(inc & neigh_l[:, None], axis=0)
+        neigh_l = (M.covisibility_row(ms, kf_loop) >= 15).at[kf_loop].set(True)
+        loop_pts = M.points_of_kfs(ms, neigh_l)
         ms, n1 = fuse_points_into_kf(ms, kf_cur, loop_pts, cam, cfg)
-        neigh_c = (W[kf_cur] >= 15).at[kf_cur].set(True)
-        inc2 = M.obs_incidence(ms)
-        cur_pts = jnp.any(inc2 & neigh_c[:, None], axis=0)
+        neigh_c = (M.covisibility_row(ms, kf_cur) >= 15).at[kf_cur].set(True)
+        cur_pts = M.points_of_kfs(ms, neigh_c)
         ms, n2 = fuse_points_into_kf(ms, kf_loop, cur_pts, cam, cfg)
         return ms, n1 + n2
 
@@ -275,6 +269,7 @@ class LoopCloser:
         self.prev_loops: List[Tuple[int, int]] = []
         self.last_loop_kf = -1
         self._key = jax.random.PRNGKey(42)
+        self._f_covis_row = jax.jit(M.covisibility_row)
 
     def _split_key(self):
         self._key, k = jax.random.split(self._key)
@@ -285,13 +280,15 @@ class LoopCloser:
         self.db = self.db.add(jnp.int32(kf), vec)
         self._last_vec = vec
 
-    def process(self, ms: M.MapState, kf: int, n_kfs: int
+    def process(self, ms: M.MapState, kf: int, kf_ordinal: int
                 ) -> Tuple[M.MapState, bool]:
-        """Run detection (+ correction on success) for keyframe ``kf``.
+        """Run detection (+ correction on success) for keyframe slot ``kf``
+        (``kf_ordinal`` = monotonic insertion counter — slot ids are reused
+        after culling, so gating uses the ordinal).
         Returns (possibly corrected ms, loop_closed)."""
         lcfg = self.cfg.loop
-        if n_kfs < lcfg.minimum_keyframes or \
-                kf - self.last_loop_kf < lcfg.minimum_keyframes:
+        if kf_ordinal < lcfg.minimum_keyframes or \
+                kf_ordinal - self.last_loop_kf < lcfg.minimum_keyframes:
             return ms, False
         vec = self._last_vec
         min_score = self.f_min_score(ms, self.db, jnp.int32(kf), vec)
@@ -302,12 +299,13 @@ class LoopCloser:
             self.consistent_groups = []
             return ms, False
 
-        # covisibility-consistency accumulation (host sets)
-        W = np.asarray(M.covisibility(ms))
+        # covisibility-consistency accumulation (host sets; one [K] row
+        # fetch per candidate — never the full [K, K] matrix)
         enough: List[int] = []
         new_groups: List[Tuple[Set[int], int]] = []
         for c in cands:
-            group = set(np.where(W[c] >= 15)[0].tolist()) | {c}
+            w_row = np.asarray(self._f_covis_row(ms, jnp.int32(c)))
+            group = set(np.where(w_row >= 15)[0].tolist()) | {c}
             best_consistency = 0
             for prev_set, count in self.consistent_groups:
                 if group & prev_set:
@@ -344,7 +342,7 @@ class LoopCloser:
             ms, _ = self.f_fuse_loop(ms, jnp.int32(kf), jnp.int32(cand))
             ms = self.f_gba(ms)
             self.prev_loops.append((kf, cand))
-            self.last_loop_kf = kf
+            self.last_loop_kf = kf_ordinal
             self.consistent_groups = []
             return ms, True
         return ms, False

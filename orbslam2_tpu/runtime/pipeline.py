@@ -11,9 +11,12 @@ top of the functional MapState:
     published reference swap is the only synchronization point)
   * the keyframe queue is the native C++ token queue (csrc/slamrt.cpp),
     with payloads handed over in a dict
-  * backpressure: tracking raises the abort flag on insertion; the worker
-    skips local BA when more keyframes are waiting (mbAbortBA semantics,
-    LocalMapping.cc:624-627) and catches up
+  * backpressure: NeedNewKeyFrame consults real mapper idleness
+    (Tracking.cc:1127-1160): c1b requires an idle mapper; when busy it
+    raises mbAbortBA and only queues while fewer than 3 keyframes wait
+  * the worker runs the fused mapping_step (ONE dispatch per keyframe)
+    and skips local BA when more keyframes are waiting (mbAbortBA
+    semantics, LocalMapping.cc:624-627)
   * per-frame visible/found counter masks accumulate device-side between
     keyframes and are folded in at insertion (the reference updates them
     under the map mutex per frame)
@@ -50,9 +53,9 @@ class AsyncSlamEngine(SlamEngine):
         self._token = 0
         self._worker: Optional[threading.Thread] = None
         self._running = False
+        self._worker_busy = False
         self._pending_vis = None   # accumulated counter masks (device)
         self._pending_found = None
-        self._n_queued = 0
 
     # ------------------------------------------------------------- control
     def start(self):
@@ -69,7 +72,7 @@ class AsyncSlamEngine(SlamEngine):
             self._worker.join(timeout=timeout)
 
     # -------------------------------------------------- tracking overrides
-    def _absorb_track_counters(self, res) -> None:
+    def _absorb_track(self, ms2, res) -> None:
         """Accumulate device-side; folded in by the worker at KF insertion
         (single-writer: tracking never mutates the map)."""
         if self._pending_vis is None:
@@ -79,21 +82,35 @@ class AsyncSlamEngine(SlamEngine):
             self._pending_vis = self._pending_vis + res.visible_mask
             self._pending_found = self._pending_found + res.found_mask
 
+    def _mapper_idle(self) -> bool:
+        return self.kf_queue.size() == 0 and not self._worker_busy
+
+    def _mapping_queue_len(self) -> int:
+        return self.kf_queue.size()
+
+    def _interrupt_ba(self) -> None:
+        self.abort_ba.set(1)
+
+    def _counter_args(self):
+        vis, found = self._pending_vis, self._pending_found
+        self._pending_vis = None
+        self._pending_found = None
+        if vis is None:
+            return self._zeros_p, self._zeros_p
+        return vis, found
+
     def _create_keyframe(self, fd, res, timestamp: float) -> None:
         """Enqueue instead of processing inline (Tracking::CreateNewKeyFrame
         → LocalMapping::InsertKeyFrame, Tracking.cc:1162/LocalMapping.cc:114).
         """
         tok = self._token
         self._token += 1
+        counters = self._counter_args()
         with self._jobs_lock:
-            self._jobs[tok] = (fd, np.asarray(res.Tcw), res.assoc,
-                               self.frame_id, timestamp,
-                               self._pending_vis, self._pending_found)
-        self._pending_vis = None
-        self._pending_found = None
+            self._jobs[tok] = (fd, res.Tcw, res.assoc,
+                               self.frame_id, timestamp, counters)
         self.abort_ba.set(1)             # interrupt a running local BA
         self.kf_queue.push(tok)
-        self._n_queued += 1
         self.last_kf_frame_id = self.frame_id
 
     # ------------------------------------------------------ mapping worker
@@ -104,61 +121,37 @@ class AsyncSlamEngine(SlamEngine):
                 if not self._running and self.kf_queue.size() == 0:
                     return
                 continue
-            with self._jobs_lock:
-                job = self._jobs.pop(tok)
-            fd, Tcw, assoc, frame_id, ts, vis, found = job
-            ms = self.ms
-            if vis is not None:
-                ms = self.f_apply_counters(ms, vis > 0, found > 0)
+            self._worker_busy = True
+            try:
+                with self._jobs_lock:
+                    job = self._jobs.pop(tok)
+                fd, Tcw, assoc, frame_id, ts, counters = job
 
-            kf_slot = self.n_kfs
-            if kf_slot >= self.cfg.capacity.max_keyframes - 1:
-                continue
-            ms, n_new = self.f_insert_kf(
-                ms, fd, jnp.asarray(Tcw, jnp.float32), assoc,
-                jnp.int32(kf_slot), jnp.int32(self.mp_top),
-                jnp.int32(self.ref_kf), jnp.int32(frame_id),
-                jnp.float32(ts))
-            self.mp_top = min(self.mp_top + int(n_new),
-                              self.cfg.capacity.max_map_points)
-            self.n_kfs += 1
-            self.stats["kf_inserted"] += 1
-            self.stats["mp_created"] += int(n_new)
+                if not self._free_kf_slots:
+                    if not self._capacity_warned:
+                        import warnings
+                        warnings.warn(
+                            "keyframe capacity exhausted in async worker — "
+                            "dropping queued keyframe", RuntimeWarning)
+                        self._capacity_warned = True
+                    continue
+                kf_slot = self._take_kf_slot()
+                # local BA unless newer keyframes are waiting (mbAbortBA)
+                self.abort_ba.consume()
+                ba_ok = self.kf_queue.size() == 0
+                ms = self._run_mapping_step(
+                    self.ms, fd, Tcw, assoc, kf_slot, self.ref_kf,
+                    frame_id, ts, ba_ok=ba_ok, counters=counters)
 
-            ms, n_culled = self.f_cull_mp(ms, jnp.int32(kf_slot))
-            self.stats["mp_culled"] += int(n_culled)
-            if self.n_kfs >= 2 and self.abort_ba.get() == 0:
-                w = np.asarray(self.f_covis_row(ms, jnp.int32(kf_slot)))
-                for nb in np.argsort(-w)[:2]:
-                    if w[nb] < 15 or \
-                            self.mp_top >= self.cfg.capacity.max_map_points:
-                        break
-                    tri = self.f_triangulate(ms, jnp.int32(kf_slot),
-                                             jnp.int32(int(nb)))
-                    ms, n_tri = self.f_insert_tri(
-                        ms, jnp.int32(kf_slot), jnp.int32(int(nb)), tri,
-                        jnp.int32(self.mp_top))
-                    self.mp_top += int(n_tri)
-                    self.stats["mp_created"] += int(n_tri)
-            ms, n_merged = self.f_fuse(ms, jnp.int32(kf_slot))
-            self.stats["mp_fused"] += int(n_merged)
+                if self.loop_closer is not None:
+                    self.loop_closer.add_keyframe(ms, kf_slot)
+                    ms, closed = self.loop_closer.process(
+                        ms, kf_slot, self.kf_ordinal)
+                    if closed:
+                        self.stats["loops_closed"] += 1
 
-            # local BA unless newer keyframes are waiting (mbAbortBA)
-            self.abort_ba.consume()
-            if self.n_kfs >= 3 and self.kf_queue.size() == 0:
-                ms, n_out = self.f_local_ba(ms, jnp.int32(kf_slot))
-                self.stats["ba_outliers"] += int(n_out)
-            if self.n_kfs >= 5:
-                ms, culled = self.f_cull_kf(ms, jnp.int32(kf_slot))
-                self.stats["kf_culled"] += int(culled)
-
-            if self.loop_closer is not None:
-                self.loop_closer.add_keyframe(ms, kf_slot)
-                ms, closed = self.loop_closer.process(ms, kf_slot,
-                                                      self.n_kfs)
-                if closed:
-                    self.stats["loops_closed"] += 1
-
-            # publish the new snapshot (atomic reference swap)
-            self.ms = ms
-            self.ref_kf = kf_slot
+                # publish the new snapshot (atomic reference swap)
+                self.ms = ms
+                self.ref_kf = kf_slot
+            finally:
+                self._worker_busy = False

@@ -5,18 +5,37 @@ plus the LocalMapping loop — the data-dependent decisions (state machine,
 fallbacks, keyframe policy) read back a handful of scalars per frame while
 all array work stays in jitted functions on device.
 
+Dispatch discipline (the round-3 rework): a remote-attached TPU charges a
+tunnel round trip (~25 ms) per dispatch or fetch, so the steady-state
+contract is
+
+  * ONE fused dispatch + ONE 40-float fetch per tracked frame
+    (tracking.make_fused_track_fn: uint8 upload → frontend → two-stage
+    track with in-device widen → counter fold), and
+  * ONE fused dispatch + ONE small stats fetch per keyframe insertion
+    (local_mapping.make_mapping_step: insert → cull → triangulate top-k
+    neighbours → fuse → local BA → KF cull).
+
 The reference runs LocalMapping in its own thread with a keyframe queue
 (System.cc:104, LocalMapping.cc:114); here mapping runs synchronously after
 keyframe insertion by default, with the async path provided by
 runtime/pipeline.py.
+
+Keyframe and map-point rows are REUSED after culling (slot free-lists /
+device-side allocator) — capacity bounds live entities, not entities ever
+created.  Trajectory entries whose reference keyframe is culled are rebased
+onto its spanning-tree parent with the relative pose at cull time, exactly
+like the reference's mTcp walk in SaveTrajectoryTUM (System.cc:478-503,
+KeyFrame.cc:533).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import threading
+import warnings
 from typing import List, Optional, Tuple
 
-import jax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +43,6 @@ import numpy as np
 from orbslam2_tpu.config import MONOCULAR, RGBD, STEREO, SlamConfig
 from orbslam2_tpu.models import frame as frame_mod
 from orbslam2_tpu.models import map_state as M
-from orbslam2_tpu.ops import triangulate as tri_mod
 from orbslam2_tpu.runtime import local_mapping, tracking
 from orbslam2_tpu.utils import lie
 
@@ -42,7 +60,7 @@ class TrajectoryEntry:
 
 
 class SlamEngine:
-    """Single-process engine for stereo / RGB-D sequences."""
+    """Single-process engine for stereo / RGB-D / monocular sequences."""
 
     def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True,
                  vocabulary=None):
@@ -53,14 +71,15 @@ class SlamEngine:
             self.frontend = frame_mod.make_frontend_rgbd(cfg)
         else:
             self.frontend = frame_mod.make_frontend_mono(cfg)
-        (self.f_init, self.f_track, self.f_track_ref, self.f_insert_kf,
-         self.f_ref_tracked, self.f_pose_cov,
-         self.f_apply_counters) = tracking.make_tracking_fns(cfg)
-        (self.f_local_ba, self.f_cull_mp, self.f_cull_kf,
-         self.f_fuse) = local_mapping.make_mapping_fns(cfg)
-        (self.f_triangulate,
-         self.f_insert_tri) = tri_mod.make_triangulation_fn(cfg)
-        self.f_covis_row = jax.jit(M.covisibility_row)
+        self.fns = tracking.make_tracking_fns(cfg)
+        self.f_track = self.fns.track
+        self.f_track_ref = self.fns.track_ref_kf
+        self.f_pose_cov = self.fns.pose_covariance
+        self.f_apply_counters = self.fns.apply_counters
+        self.f_init = self.fns.init_stereo
+        (self.f_track_frame,
+         self.f_track_frame_loc) = tracking.make_fused_track_fn(cfg)
+        self.f_mapping_step = local_mapping.make_mapping_step(cfg)
         self.loop_closer = None
         if enable_loop_closing:
             from orbslam2_tpu.models.vocabulary import default_vocabulary
@@ -70,8 +89,9 @@ class SlamEngine:
 
         self.ms = M.empty_map(cfg)
         self.state = tracking.NO_IMAGES_YET
-        self.n_kfs = 0
-        self.mp_top = 0               # allocation watermark for MP slots
+        self.n_kfs = 0                # LIVE keyframes
+        self.kf_ordinal = 0           # keyframes ever inserted (monotonic)
+        self.n_live_points = 0
         self.frame_id = 0
         self.last_kf_frame_id = 0
         self.ref_kf = 0
@@ -80,32 +100,57 @@ class SlamEngine:
         self.last_assoc = None        # device [N] int32
         self.last_inlier = None       # device [N] bool
         self.trajectory: List[TrajectoryEntry] = []
-        self.ref_kf_tracked = 0       # tracked points in current ref KF
         self.localization_only = False
+        self._free_kf_slots = set(range(cfg.capacity.max_keyframes))
+        self._capacity_warned = False
+        self._zeros_p = jnp.zeros((cfg.capacity.max_map_points,), jnp.int32)
+        self._traj_lock = threading.Lock()
+        self._culled_remap = {}       # victim slot → (parent slot, Tcp)
         self.stats = {"kf_inserted": 0, "mp_created": 0, "mp_culled": 0,
                       "kf_culled": 0, "ba_outliers": 0, "reloc": 0,
                       "mp_fused": 0, "loops_closed": 0}
 
-    # ------------------------------------------------------------ tracking
+    # --------------------------------------------------------- frame entry
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> Optional[np.ndarray]:
-        fd = self.frontend(jnp.asarray(left, jnp.float32),
-                           jnp.asarray(right, jnp.float32))
-        return self._track_common(fd, timestamp)
+        pay = np.concatenate([
+            np.ascontiguousarray(left, dtype=np.uint8).reshape(-1),
+            np.ascontiguousarray(right, dtype=np.uint8).reshape(-1)])
+        return self._track_common(pay, timestamp)
 
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
                    timestamp: float) -> Optional[np.ndarray]:
-        fd = self.frontend(jnp.asarray(gray, jnp.float32),
-                           jnp.asarray(depth, jnp.float32))
-        return self._track_common(fd, timestamp)
+        pay = (np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1),
+               np.ascontiguousarray(depth, dtype=np.float32).reshape(-1))
+        return self._track_common(pay, timestamp)
 
-    def _track_common(self, fd, timestamp: float) -> Optional[np.ndarray]:
+    def track_monocular(self, gray, timestamp: float):
+        pay = np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1)
+        return self._track_common(pay, timestamp)
+
+    def _decode(self, pay) -> frame_mod.FrameData:
+        """Frontend for the rare host-decoded paths (init, reloc)."""
+        H, W = self.cfg.camera.height, self.cfg.camera.width
+        if self.cfg.sensor == STEREO:
+            imgs = pay.reshape(2, H, W).astype(np.float32)
+            return self.frontend(jnp.asarray(imgs[0]), jnp.asarray(imgs[1]))
+        if self.cfg.sensor == RGBD:
+            gray, depth = pay
+            return self.frontend(
+                jnp.asarray(gray.reshape(H, W).astype(np.float32)),
+                jnp.asarray(depth.reshape(H, W)))
+        return self.frontend(jnp.asarray(pay.reshape(H, W).astype(np.float32)))
+
+    # ------------------------------------------------------------ tracking
+    def _track_common(self, pay, timestamp: float) -> Optional[np.ndarray]:
         if self.state in (tracking.NO_IMAGES_YET, tracking.NOT_INITIALIZED):
+            fd = self._decode(pay)
             ok = self._initialize(fd, timestamp)
             self.frame_id += 1
             return np.asarray(self.last_Tcw) if ok else None
 
         if self.state == tracking.LOST:
+            fd = self._decode(pay)
             return self._handle_lost(fd, timestamp)
 
         t = self.cfg.tracking
@@ -117,20 +162,26 @@ class SlamEngine:
         ms = self.ms
         ref_at_track = self.ref_kf
         ref_kf = jnp.int32(ref_at_track)
-        res = self.f_track(ms, fd, jnp.asarray(Tcw_pred, jnp.float32),
-                           self.last_assoc, self.last_inlier, ref_kf)
-        # ONE device→host fetch per frame: everything the state machine
-        # needs is packed in res.summary (a remote-attached TPU pays a full
-        # tunnel round trip per fetch)
-        sm = tracking.Summary(np.asarray(res.summary))
-        if (sm.n_matches_mm < t.speedup_matches_threshold
-                or sm.n_inliers_mm < t.motion_model_threshold):
-            # widen the search window ×2 (Tracking.cc:985-996)
-            res = self.f_track(ms, fd,
-                               jnp.asarray(Tcw_pred, jnp.float32),
-                               self.last_assoc, self.last_inlier, ref_kf,
-                               wide=True)
+        # localization mode on a depth sensor: temporal VO points + mbVO
+        # dual path (Tracking.cc:393-520, 901-965)
+        use_vo = (self.localization_only and self.cfg.sensor != MONOCULAR
+                  and getattr(self, "last_fd", None) is not None)
+        if use_vo:
+            ms2, fd, res = self.f_track_frame_loc(
+                ms, pay, self.last_fd,
+                jnp.asarray(self.last_Tcw, jnp.float32),
+                jnp.asarray(Tcw_pred, jnp.float32),
+                self.last_assoc, self.last_inlier, ref_kf)
             sm = tracking.Summary(np.asarray(res.summary))
+            return self._finish_loc_frame(ms2, fd, res, sm, pay,
+                                          ref_at_track, timestamp)
+        ms2, fd, res = self.f_track_frame(
+            ms, pay, jnp.asarray(Tcw_pred, jnp.float32),
+            self.last_assoc, self.last_inlier, ref_kf)
+        # ONE device→host fetch per frame: everything the state machine
+        # needs is packed in res.summary
+        sm = tracking.Summary(np.asarray(res.summary))
+        counters_folded = True
         if sm.n_inliers_map < t.local_map_tracking_threshold:
             # motion model failed → TrackReferenceKeyFrame (Tracking.cc:419),
             # then re-run the full two-stage track from the recovered pose
@@ -143,9 +194,10 @@ class SlamEngine:
                 sm2 = tracking.Summary(np.asarray(res2.summary))
                 if sm2.n_inliers_map > sm.n_inliers_map:
                     res, sm = res2, sm2
+                    counters_folded = False
 
         n_map_inliers = sm.n_inliers_map
-        self._absorb_track_counters(res)
+        self._absorb_track(ms2 if counters_folded else None, res)
         # TrackLocalMap acceptance (Tracking.cc:1060-1072)
         lost = n_map_inliers < t.local_map_tracking_threshold
         if lost:
@@ -169,15 +221,54 @@ class SlamEngine:
         if not self.localization_only and self._need_new_keyframe(sm):
             self._create_keyframe(fd, res, timestamp)
 
-        self.trajectory.append(TrajectoryEntry(
+        self._append_traj(TrajectoryEntry(
             timestamp, sm.Tcr, ref_at_track, False))
         self.last_fd = fd
         self.frame_id += 1
         return Tcw
 
-    def track_monocular(self, gray, timestamp: float):
-        fd = self.frontend(jnp.asarray(gray, jnp.float32))
-        return self._track_common(fd, timestamp)
+    def _finish_loc_frame(self, ms2, fd, res, sm, pay, ref_at_track: int,
+                          timestamp: float) -> Optional[np.ndarray]:
+        """Localization-mode frame epilogue: mbVO bookkeeping + the
+        per-frame relocalization attempt while in VO mode (the reference
+        computes both the motion-model and relocalization solutions and
+        prefers relocalization, Tracking.cc:450-489)."""
+        t = self.cfg.tracking
+        vo_mode = sm.n_real_mm < 10
+        ok = (sm.n_inliers_map >= t.local_map_tracking_threshold
+              or (vo_mode and sm.n_inliers_mm > 20))
+        if vo_mode and self.loop_closer is not None:
+            Tr, assoc_r = self.loop_closer.relocalize(self.ms, fd)
+            if Tr is not None:
+                self.stats["reloc"] += 1
+                self.state = tracking.OK
+                self.velocity = None
+                self.last_Tcw = Tr.astype(np.float32)
+                self.last_assoc = assoc_r
+                self.last_inlier = jnp.ones_like(assoc_r >= 0)
+                self.last_fd = fd
+                self._record_traj(timestamp, Tr)
+                self.frame_id += 1
+                return Tr
+        if not ok:
+            self.state = tracking.LOST
+            self.velocity = None
+            self._record_traj(timestamp, None)
+            self.frame_id += 1
+            return None
+        self.state = tracking.OK
+        self._absorb_track(ms2, res)
+        Tcw = sm.Tcw
+        if self.last_Tcw is not None:
+            self.velocity = Tcw @ np.linalg.inv(self.last_Tcw)
+        self.last_Tcw = Tcw
+        self.last_assoc = res.assoc
+        self.last_inlier = res.inlier
+        self._append_traj(TrajectoryEntry(
+            timestamp, sm.Tcr, ref_at_track, False))
+        self.last_fd = fd
+        self.frame_id += 1
+        return Tcw
 
     def _initialize_mono(self, fd, timestamp: float) -> bool:
         """MonocularInitialization (Tracking.cc:663): hold a reference
@@ -210,7 +301,8 @@ class SlamEngine:
             return False
         self.ms = ms2
         self.n_kfs = 2
-        self.mp_top = fd.n
+        self.kf_ordinal = 2
+        self._free_kf_slots -= {0, 1}
         self.last_Tcw = np.asarray(T2)
         self.last_assoc = assoc_cur
         self.last_inlier = jnp.ones((fd.n,), bool)
@@ -220,6 +312,9 @@ class SlamEngine:
         self.stats["kf_inserted"] += 2
         self.stats["mp_created"] += int(n_pts)
         # initial refinement (GlobalBundleAdjustemnt(20), Tracking.cc:784)
+        if not hasattr(self, "f_local_ba"):
+            mfns = local_mapping.make_mapping_fns(self.cfg)
+            self.f_local_ba = mfns.local_ba
         self.ms, _ = self.f_local_ba(self.ms, jnp.int32(1))
         self.last_Tcw = np.asarray(self.ms.kf_pose[1])
         if self.loop_closer is not None:
@@ -251,7 +346,8 @@ class SlamEngine:
             self.ms, fd, Tcw0, jnp.int32(self.frame_id),
             jnp.float32(timestamp))
         self.n_kfs = 1
-        self.mp_top = fd.n            # init used slots [0, N)
+        self.kf_ordinal = 1
+        self._free_kf_slots.discard(0)
         self.last_Tcw = np.eye(4, dtype=np.float32)
         self.last_assoc = assoc
         self.last_inlier = jnp.ones((fd.n,), bool)
@@ -263,97 +359,184 @@ class SlamEngine:
         self._record_traj(timestamp, self.last_Tcw)
         return True
 
-    def _absorb_track_counters(self, res) -> None:
-        """Fold per-frame visible/found masks into the map.  The async
-        engine overrides this to accumulate instead (single-writer rule)."""
-        self.ms = self.f_apply_counters(self.ms, res.visible_mask,
-                                        res.found_mask)
+    def _absorb_track(self, ms2, res) -> None:
+        """Adopt the counter-folded map snapshot from the fused track step
+        (or apply masks when the fallback path replaced the result).  The
+        async engine overrides this to accumulate instead (single-writer
+        rule: tracking never publishes map state there)."""
+        if ms2 is not None:
+            self.ms = ms2
+        else:
+            self.ms = self.f_apply_counters(self.ms, res.visible_mask,
+                                            res.found_mask)
 
     def _predict_pose(self) -> np.ndarray:
         if self.velocity is not None:
             return (self.velocity @ self.last_Tcw).astype(np.float32)
         return self.last_Tcw.astype(np.float32)
 
+    # -------------------------------------------------- keyframe decision
+    def _mapper_idle(self) -> bool:
+        """LocalMapping::AcceptKeyFrames — synchronous mapping is always
+        idle between frames; the async engine overrides."""
+        return True
+
+    def _mapping_queue_len(self) -> int:
+        return 0
+
+    def _interrupt_ba(self) -> None:
+        """LocalMapping::InterruptBA (Tracking.cc:1146) — no-op when
+        mapping is synchronous."""
+
     def _need_new_keyframe(self, sm) -> bool:
-        """NeedNewKeyFrame (Tracking.cc:1076-1160), with the synchronous-
-        mapping simplification that the mapper is always idle.  All inputs
-        come pre-fetched in the frame summary (no extra device reads)."""
+        """NeedNewKeyFrame (Tracking.cc:1076-1160), reference-fidelity:
+        c1b requires the mapper to actually be idle, and when it is busy
+        the decision interrupts the running BA and only queues for
+        non-monocular sensors with fewer than 3 waiting keyframes.  All
+        inputs come pre-fetched in the frame summary."""
         t = self.cfg.tracking
+        if not self._free_kf_slots:
+            if not self._capacity_warned:
+                warnings.warn(
+                    "keyframe capacity exhausted "
+                    f"(max_keyframes={self.cfg.capacity.max_keyframes}); "
+                    "relying on culling to free slots — consider a larger "
+                    "capacity for this sequence", RuntimeWarning)
+                self._capacity_warned = True
+            return False
         max_frames = int(self.cfg.camera.fps)
         frames_since = self.frame_id - self.last_kf_frame_id
-        if self.n_kfs >= self.cfg.capacity.max_keyframes - 1:
-            return False
         n_inliers = sm.n_inliers_map
         ref_matches = max(
-            sm.ref_tracked3 if self.n_kfs > 2 else sm.ref_tracked2, 1)
+            sm.ref_tracked3 if self.kf_ordinal > 2 else sm.ref_tracked2, 1)
         # stereo close-point pressure (Tracking.cc:1106-1124)
         need_close = (sm.n_tracked_close < 100
                       and sm.n_nontracked_close > 70)
         th_ref_ratio = 0.75 if self.cfg.sensor != MONOCULAR else 0.9
-        if self.n_kfs < 2:
+        if self.kf_ordinal < 2:
             th_ref_ratio = 0.4
+        idle = self._mapper_idle()
         c1a = frames_since >= max_frames
-        c1b = frames_since >= t.min_frames        # mapper idle in sync mode
+        c1b = frames_since >= t.min_frames and idle
         c1c = (self.cfg.sensor != MONOCULAR
                and (n_inliers < ref_matches * 0.25 or need_close))
         c2 = ((n_inliers < ref_matches * th_ref_ratio or need_close)
               and n_inliers > 15)
-        return (c1a or c1b or c1c) and c2
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if idle:
+            return True
+        self._interrupt_ba()
+        return (self.cfg.sensor != MONOCULAR
+                and self._mapping_queue_len() < 3)
+
+    # ---------------------------------------------------- keyframe insert
+    def _take_kf_slot(self) -> int:
+        slot = min(self._free_kf_slots)
+        self._free_kf_slots.discard(slot)
+        # the slot's old identity is gone — entries referencing it were
+        # rebased at cull time or at append time via _culled_remap
+        self._culled_remap.pop(slot, None)
+        return slot
+
+    def _append_traj(self, e: TrajectoryEntry) -> None:
+        """Append a trajectory entry, rebasing through any culled
+        reference keyframes first (covers entries whose reference was
+        culled between track time and append time)."""
+        with self._traj_lock:
+            seen = set()
+            while not e.lost and e.ref_kf in self._culled_remap \
+                    and e.ref_kf not in seen:
+                seen.add(e.ref_kf)
+                p, Tcp = self._culled_remap[e.ref_kf]
+                e.Tcr = e.Tcr @ Tcp
+                e.ref_kf = p
+            self.trajectory.append(e)
+
+    def _counter_args(self):
+        """(visible, found) int32 [P] accumulators folded at insertion.
+        Synchronous tracking already folds per frame → zeros here; the
+        async engine returns (and resets) its accumulated masks."""
+        return self._zeros_p, self._zeros_p
+
+    def _run_mapping_step(self, ms, fd, Tcw, assoc, kf_slot: int,
+                          parent: int, frame_id: int, timestamp: float,
+                          ba_ok: bool, counters=None):
+        vis, found = counters if counters is not None \
+            else self._counter_args()
+        do_ba = bool(ba_ok and self.kf_ordinal >= 3)
+        do_cull = bool(self.kf_ordinal >= 5)
+        ms, stats_dev = self.f_mapping_step(
+            ms, fd, Tcw, assoc, jnp.int32(kf_slot),
+            jnp.int32(self.kf_ordinal), jnp.int32(parent),
+            jnp.int32(frame_id), jnp.float32(timestamp),
+            jnp.bool_(do_ba), jnp.bool_(do_cull), vis, found)
+        stats = np.asarray(stats_dev)      # the ONE host fetch
+        self.kf_ordinal += 1
+        self.n_kfs += 1
+        self.stats["kf_inserted"] += 1
+        self.stats["mp_created"] += int(stats[0]) + int(stats[2])
+        self.stats["mp_culled"] += int(stats[1])
+        self.stats["mp_fused"] += int(stats[3])
+        self.stats["ba_outliers"] += int(stats[4])
+        self.stats["kf_culled"] += int(stats[5])
+        self.n_live_points = int(stats[6])
+        victims = [int(v) for v in stats[7:] if v >= 0]
+        if victims:
+            self._on_kfs_culled(ms, victims)
+        return ms
+
+    def _on_kfs_culled(self, ms, victims: List[int]) -> None:
+        """Rebase trajectory entries off culled reference keyframes onto
+        their spanning-tree parents (the reference's mTcp walk,
+        System.cc:478-503 / KeyFrame.cc:533), then free the slots for
+        reuse."""
+        pose = np.asarray(ms.kf_pose)          # small: [K, 4, 4]
+        parent = np.asarray(ms.kf_parent)
+        self.n_kfs -= len(victims)
+        vic = set(victims)
+        remap = {}
+        for v in victims:
+            p = int(parent[v])
+            # chain through parents culled in the same batch
+            seen = {v}
+            while p in vic and p not in seen and p >= 0:
+                seen.add(p)
+                p = int(parent[p])
+            p = max(p, 0)
+            remap[v] = (p, (pose[v] @ np.linalg.inv(pose[p])).astype(
+                np.float32))
+        with self._traj_lock:
+            self._culled_remap.update(remap)
+            for e in self.trajectory:
+                if not e.lost and e.ref_kf in remap:
+                    p, Tcp = remap[e.ref_kf]
+                    e.Tcr = e.Tcr @ Tcp
+                    e.ref_kf = p
+        if self.ref_kf in remap:
+            self.ref_kf = remap[self.ref_kf][0]
+        if self.loop_closer is not None:
+            for v in victims:
+                self.loop_closer.db = self.loop_closer.db.erase(jnp.int32(v))
+        self._free_kf_slots |= vic
 
     def _create_keyframe(self, fd, res, timestamp: float) -> None:
-        kf_slot = self.n_kfs
-        self.ms, n_new = self.f_insert_kf(
-            self.ms, fd, res.Tcw, res.assoc, jnp.int32(kf_slot),
-            jnp.int32(self.mp_top), jnp.int32(self.ref_kf),
-            jnp.int32(self.frame_id), jnp.float32(timestamp))
-        n_new = int(n_new)
-        self.mp_top = min(self.mp_top + n_new, self.cfg.capacity.max_map_points)
-        self.n_kfs += 1
+        kf_slot = self._take_kf_slot()
+        self.ms = self._run_mapping_step(
+            self.ms, fd, res.Tcw, res.assoc, kf_slot, self.ref_kf,
+            self.frame_id, timestamp, ba_ok=True)
         self.ref_kf = kf_slot
         self.last_kf_frame_id = self.frame_id
-
-        self.stats["kf_inserted"] += 1
-        self.stats["mp_created"] += n_new
-        # refresh tracking association so new points participate immediately
+        # refresh tracking association so new points participate
+        # immediately (associations may also have been fused away)
         self.last_assoc = self.ms.kf_mp[kf_slot]
         self.last_inlier = jnp.ones_like(self.last_inlier)
-
-        # ---- local mapping (synchronous; LocalMapping::Run order:
-        # cull points → triangulate → fuse → local BA → cull KFs) ----
-        self.ms, n_culled = self.f_cull_mp(self.ms, jnp.int32(kf_slot))
-        self.stats["mp_culled"] += int(n_culled)
-        # CreateNewMapPoints: epipolar triangulation with the top covisible
-        # neighbours (LocalMapping.cc:207; 10/20 there, bounded here — each
-        # neighbour is a dense N×N pass)
-        if self.n_kfs >= 2:
-            w = np.asarray(self.f_covis_row(self.ms, jnp.int32(kf_slot)))
-            for nb in np.argsort(-w)[:2]:
-                if w[nb] < 15 or self.mp_top >= self.cfg.capacity.max_map_points:
-                    break
-                tri = self.f_triangulate(self.ms, jnp.int32(kf_slot),
-                                         jnp.int32(int(nb)))
-                self.ms, n_tri = self.f_insert_tri(
-                    self.ms, jnp.int32(kf_slot), jnp.int32(int(nb)), tri,
-                    jnp.int32(self.mp_top))
-                n_tri = int(n_tri)
-                self.mp_top += n_tri
-                self.stats["mp_created"] += n_tri
-        self.ms, n_merged = self.f_fuse(self.ms, jnp.int32(kf_slot))
-        self.stats["mp_fused"] += int(n_merged)
-        if self.n_kfs >= 3:
-            self.ms, n_out = self.f_local_ba(self.ms, jnp.int32(kf_slot))
-            self.stats["ba_outliers"] += int(n_out)
-        if self.n_kfs >= 5:
-            self.ms, culled = self.f_cull_kf(self.ms, jnp.int32(kf_slot))
-            self.stats["kf_culled"] += int(culled)
-        # associations may have been fused away — refresh from the map
-        self.last_assoc = self.ms.kf_mp[kf_slot]
 
         # ---- loop closing (LoopClosing::Run per keyframe) ----
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(self.ms, kf_slot)
-            self.ms, closed = self.loop_closer.process(self.ms, kf_slot,
-                                                       self.n_kfs)
+            self.ms, closed = self.loop_closer.process(
+                self.ms, kf_slot, self.kf_ordinal)
             if closed:
                 self.stats["loops_closed"] += 1
                 # poses moved wholesale — rebase the motion model
@@ -377,17 +560,18 @@ class SlamEngine:
         self.last_Tcw = Tcw.astype(np.float32)
         self.last_assoc = assoc
         self.last_inlier = jnp.ones_like(assoc >= 0)
+        self.last_fd = fd
         self._record_traj(timestamp, Tcw)
         return Tcw
 
     def _record_traj(self, timestamp: float, Tcw: Optional[np.ndarray]):
         if Tcw is None:
-            self.trajectory.append(TrajectoryEntry(
+            self._append_traj(TrajectoryEntry(
                 timestamp, np.eye(4, dtype=np.float32), self.ref_kf, True))
             return
         Tref = np.asarray(self.ms.kf_pose[self.ref_kf])
         Tcr = Tcw @ np.linalg.inv(Tref)
-        self.trajectory.append(TrajectoryEntry(
+        self._append_traj(TrajectoryEntry(
             timestamp, Tcr.astype(np.float32), self.ref_kf, False))
 
     # ------------------------------------------------------------- outputs

