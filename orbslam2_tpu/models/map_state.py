@@ -299,13 +299,14 @@ def covisibility(ms: MapState) -> jax.Array:
 # ------------------------------------------------------------- map points ----
 
 def mp_projection_query(ms: MapState) -> matching.ProjectionQuery:
-    """All live map points as a ProjectionQuery (with the reference's
-    0.8/1.2 distance-invariance slack, MapPoint.cc:377-383)."""
+    """All live map points as a ProjectionQuery (raw scale-invariance
+    bounds; the matcher applies the reference's 0.8/1.2 frustum slack,
+    MapPoint.cc:377-383)."""
     return matching.ProjectionQuery(
         pos_w=ms.mp_pos,
         normal=ms.mp_normal(),
-        min_dist=0.8 * ms.mp_min_dist,
-        max_dist=1.2 * ms.mp_max_dist,
+        min_dist=ms.mp_min_dist,
+        max_dist=ms.mp_max_dist,
         desc=ms.mp_desc,
         valid=ms.mp_valid,
     )

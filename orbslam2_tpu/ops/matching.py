@@ -99,7 +99,13 @@ def resolve_duplicates(match_idx: jax.Array, match_dist: jax.Array,
 # --------------------------------------------- projection-guided matching ----
 
 class ProjectionQuery(NamedTuple):
-    """A batch of 3D points to be matched into a frame by projection."""
+    """A batch of 3D points to be matched into a frame by projection.
+
+    min_dist/max_dist are the RAW scale-invariance bounds (MapPoint
+    mfMin/MaxDistance) — search_by_projection applies the 0.8/1.2 frustum
+    slack itself, while scale prediction uses the raw max (the reference's
+    PredictScale, MapPoint.cc:385, takes mfMaxDistance unslackened;
+    pre-slackening here biased every predicted level +1)."""
 
     pos_w: jax.Array       # [P, 3]
     normal: jax.Array      # [P, 3]
@@ -137,8 +143,8 @@ def search_by_projection(
     Duplicates are NOT resolved here — call resolve_duplicates.
     """
     visible, uv, ur, dist, view_cos = cam_mod.in_frustum(
-        cam, Tcw, query.pos_w, query.min_dist, query.max_dist, query.normal,
-        view_cos_limit)
+        cam, Tcw, query.pos_w, 0.8 * query.min_dist, 1.2 * query.max_dist,
+        query.normal, view_cos_limit)
     visible = visible & query.valid
     pred_lvl = predict_scale(dist, query.max_dist, scale_factor, n_levels)
     scale_of = jnp.power(scale_factor, pred_lvl.astype(jnp.float32))

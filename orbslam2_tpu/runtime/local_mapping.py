@@ -58,8 +58,8 @@ def fuse_points_into_kf(ms: M.MapState, kf, pt_mask, cam, cfg
     sel_ok = cand[ids]
     q = matching.ProjectionQuery(
         pos_w=ms.mp_pos[ids], normal=normals[ids],
-        min_dist=0.8 * ms.mp_min_dist[ids],
-        max_dist=1.2 * ms.mp_max_dist[ids],
+        min_dist=ms.mp_min_dist[ids],
+        max_dist=ms.mp_max_dist[ids],
         desc=ms.mp_desc[ids], valid=sel_ok)
     m, d, _ = matching.search_by_projection(
         cam, Tcw, q, ms.kf_xy[kf], ms.kf_level[kf], ms.kf_desc[kf],

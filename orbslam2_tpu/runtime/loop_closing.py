@@ -86,6 +86,54 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
             min_inliers=lcfg.ransac_threshold_trigger)
 
     @jax.jit
+    def refine_sim3(ms: M.MapState, kf1: jax.Array, kf2: jax.Array,
+                    s12, R12, t12):
+        """SearchBySim3 + OptimizeSim3 (LoopClosing.cc:359-370): two-way
+        Sim3-guided matching widens the correspondence set, then a
+        bidirectional Sim3 LM refines the transform; acceptance requires
+        ≥ 20 *optimized* inliers (ransac_minimal_inliers).  Returns
+        (s, R, t, n_inliers)."""
+        from orbslam2_tpu.ops import sim3opt
+
+        def feat_mp(kf):
+            mp = ms.kf_mp[kf]
+            ok = (mp >= 0) & ms.kf_kp_valid[kf] & \
+                ms.mp_valid[jnp.where(mp >= 0, mp, 0)]
+            idx = jnp.where(ok, mp, 0)
+            pos_c = lie.transform_points(
+                ms.kf_pose[kf], ms.mp_pos[idx][None])[0]
+            return ok, idx, pos_c
+
+        ok1, mp1, p1c_all = feat_mp(kf1)
+        ok2, mp2, p2c_all = feat_mp(kf2)
+        m12, _ = sim3opt.search_by_sim3(
+            cam,
+            ms.kf_xy[kf1], ms.kf_level[kf1], ms.kf_desc[kf1],
+            ms.kf_kp_valid[kf1], p1c_all, ok1,
+            ms.kf_xy[kf2], ms.kf_level[kf2], ms.kf_desc[kf2],
+            ms.kf_kp_valid[kf2], p2c_all, ok2,
+            ms.mp_min_dist[mp1], ms.mp_max_dist[mp1],
+            ms.mp_min_dist[mp2], ms.mp_max_dist[mp2],
+            s12, R12, t12, cfg.orb.scale_factor, cfg.orb.n_levels,
+            width=float(cfg.camera.width), height=float(cfg.camera.height))
+        pair_ok = (m12 >= 0) & ok1
+        j = jnp.where(pair_ok, m12, 0)
+        pair_ok = pair_ok & ok2[j]
+        sigma2 = jnp.asarray(
+            np.array([cfg.orb.scale_factor ** (2 * l)
+                      for l in range(cfg.orb.n_levels)], np.float32))
+        res = sim3opt.optimize_sim3(
+            cam, p1c_all, p2c_all[j],
+            ms.kf_xy[kf1], ms.kf_xy[kf2][j],
+            (1.0 / sigma2)[ms.kf_level[kf1]],
+            (1.0 / sigma2)[ms.kf_level[kf2][j]],
+            pair_ok, s12, R12, t12,
+            fix_scale=(cfg.sensor != MONOCULAR),
+            iters_a=cfg.optimizer.sim3_iterations,
+            iters_b=2 * cfg.optimizer.sim3_iterations)
+        return res.s12, res.R12, res.t12, res.n_inliers
+
+    @jax.jit
     def recount_matches(ms: M.MapState, kf1: jax.Array, kf2: jax.Array,
                         s12, R12, t12) -> jax.Array:
         """SearchByProjection of the loop KF's neighbourhood points through
@@ -250,7 +298,7 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
 
     return (kf_bow_vector, min_neighbor_score, detect, match_for_sim3,
             recount_matches, correct_loop, global_ba, frame_bow_vector,
-            reloc_attempt, fuse_after_loop)
+            reloc_attempt, fuse_after_loop, refine_sim3)
 
 
 class LoopCloser:
@@ -262,7 +310,8 @@ class LoopCloser:
         self.voc = voc
         (self.f_bow, self.f_min_score, self.f_detect, self.f_sim3,
          self.f_recount, self.f_correct, self.f_gba, self.f_frame_bow,
-         self.f_reloc, self.f_fuse_loop) = make_loop_fns(cfg, voc)
+         self.f_reloc, self.f_fuse_loop, self.f_refine_sim3) = \
+            make_loop_fns(cfg, voc)
         self.db = db_mod.KeyFrameDB.empty(cfg.capacity.max_keyframes,
                                           voc.n_words)
         self.consistent_groups: List[Tuple[Set[int], int]] = []
@@ -322,10 +371,19 @@ class LoopCloser:
                               self._split_key())
             if not bool(res.ok):
                 continue
+            # SearchBySim3 + OptimizeSim3: widen matches through the RANSAC
+            # transform, refine bidirectionally, accept ≥ 20 optimized
+            # inliers (LoopClosing.cc:359-370)
+            s12, R12, t12, n_opt = self.f_refine_sim3(
+                ms, jnp.int32(kf), jnp.int32(cand),
+                res.s12, res.R12, res.t12)
+            if int(n_opt) < lcfg.ransac_minimal_inliers:
+                continue
             n_total = int(self.f_recount(ms, jnp.int32(kf), jnp.int32(cand),
-                                         res.s12, res.R12, res.t12))
+                                         s12, R12, t12))
             if n_total < lcfg.detection_threshold:
                 continue
+            res = res._replace(s12=s12, R12=R12, t12=t12)
             # accept: correct the map, add the loop edge, run GBA.
             # previous-loop edges are padded to a fixed capacity so the
             # correction jit never retraces

@@ -171,8 +171,8 @@ def make_tracking_fns(cfg: SlamConfig):
         normals = ms.mp_normal()
         q1 = matching.ProjectionQuery(
             pos_w=ms.mp_pos[idx], normal=normals[idx],
-            min_dist=0.8 * ms.mp_min_dist[idx],
-            max_dist=1.2 * ms.mp_max_dist[idx],
+            min_dist=ms.mp_min_dist[idx],
+            max_dist=ms.mp_max_dist[idx],
             desc=ms.mp_desc[idx], valid=lq_ok & ms.mp_valid[idx])
         r1 = mm_radius * wide_scale
         m1, d1, _ = matching.search_by_projection(
@@ -224,8 +224,8 @@ def make_tracking_fns(cfg: SlamConfig):
         sel_ok = cand[ids]
         q2 = matching.ProjectionQuery(
             pos_w=ms.mp_pos[ids], normal=normals[ids],
-            min_dist=0.8 * ms.mp_min_dist[ids],
-            max_dist=1.2 * ms.mp_max_dist[ids],
+            min_dist=ms.mp_min_dist[ids],
+            max_dist=ms.mp_max_dist[ids],
             desc=ms.mp_desc[ids], valid=sel_ok)
         m2, d2, _ = matching.search_by_projection(
             cam, pose1, q2, fd.xy, fd.level, fd.desc, fd.valid, fd.ur,
@@ -335,10 +335,8 @@ def make_tracking_fns(cfg: SlamConfig):
         q_union = matching.ProjectionQuery(
             pos_w=jnp.concatenate([ms.mp_pos[idx], vo_pos]),
             normal=jnp.concatenate([normals[idx], vo_normal]),
-            min_dist=jnp.concatenate([0.8 * ms.mp_min_dist[idx],
-                                      0.5 * dist]),
-            max_dist=jnp.concatenate([1.2 * ms.mp_max_dist[idx],
-                                      2.0 * dist]),
+            min_dist=jnp.concatenate([ms.mp_min_dist[idx], 0.5 * dist]),
+            max_dist=jnp.concatenate([ms.mp_max_dist[idx], 2.0 * dist]),
             desc=jnp.concatenate([ms.mp_desc[idx], prev_fd.desc]),
             valid=jnp.concatenate([lq_ok & ms.mp_valid[idx], vo_valid]))
         m1, d1, _ = matching.search_by_projection(

@@ -113,6 +113,138 @@ def render_stereo(scene: Scene, cam: CameraConfig, Tcw: np.ndarray,
     return left, right
 
 
+# --------------------------------------------------------------- world ----
+# Plane-based textured world: unlike the sprite scene (isolated patches on
+# flat background, every descriptor footprint straddling depth
+# discontinuities), surfaces carry dense locally-coherent texture — the
+# statistics real ORB descriptors rely on.  Rendering is inverse-warp
+# ray/plane intersection with bilinear texture sampling, so parallax,
+# occlusion, and forward-motion scale change are all geometrically exact,
+# and a per-pixel depth map falls out for free (RGBD).
+
+
+@dataclass
+class Plane:
+    p0: np.ndarray        # [3] a point on the plane (texture origin)
+    n: np.ndarray         # [3] unit normal (pointing toward viewers)
+    eu: np.ndarray        # [3] texture u basis (unit)
+    ev: np.ndarray        # [3] texture v basis (unit)
+    tex: np.ndarray       # [Th, Tw] float32 intensity
+    scale: float          # texture pixels per world unit
+
+
+@dataclass
+class World:
+    planes: List[Plane]
+    background: float = 40.0
+
+
+def _make_texture(rng: np.random.Generator, size: int = 512,
+                  contrast: float = 70.0, base: float = 110.0) -> np.ndarray:
+    """Multi-octave value noise: smooth large structure + sharp detail so
+    FAST finds corners at every scale."""
+    tex = np.zeros((size, size), np.float32)
+    amp = 1.0
+    for cells in (8, 32, 128, 256):
+        coarse = rng.uniform(-1.0, 1.0, (cells, cells)).astype(np.float32)
+        reps = size // cells
+        up = np.kron(coarse, np.ones((reps, reps), np.float32))
+        tex += amp * up
+        amp *= 0.55
+    tex = base + contrast * tex / np.abs(tex).max()
+    return np.clip(tex, 0.0, 255.0)
+
+
+def make_world(rng: np.random.Generator, kind: str = "corridor",
+               tex_size: int = 512) -> World:
+    """A corridor of textured planes: ground, two walls, far wall, plus a
+    couple of floating facade quads — depth range ~3–45 m."""
+    def plane(p0, n, eu, scale=20.0):
+        n = np.asarray(n, np.float64)
+        n = n / np.linalg.norm(n)
+        eu = np.asarray(eu, np.float64)
+        eu = eu - n * (eu @ n)
+        eu /= np.linalg.norm(eu)
+        ev = np.cross(n, eu)
+        return Plane(p0=np.asarray(p0, np.float64), n=n, eu=eu, ev=ev,
+                     tex=_make_texture(rng, tex_size), scale=scale)
+
+    planes = [
+        plane([0.0, 3.5, 0.0], [0.0, -1.0, 0.0], [1.0, 0.0, 0.0]),   # ground
+        plane([-7.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]),   # left
+        plane([7.0, 0.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]),   # right
+        plane([0.0, -4.5, 0.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]),   # ceiling
+        plane([0.0, 0.0, 60.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]),  # far wall
+    ]
+    return World(planes=planes)
+
+
+def render_world(world: World, cam: CameraConfig, Tcw: np.ndarray,
+                 rng: Optional[np.random.Generator] = None,
+                 noise: float = 2.0, with_depth: bool = False):
+    """Render [H, W] grayscale (and optional depth) by ray casting."""
+    h, w = cam.height, cam.width
+    Twc = np.linalg.inv(Tcw)
+    C = Twc[:3, 3]
+    R = Twc[:3, :3]
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    d_cam = np.stack([(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy,
+                      np.ones_like(u)], axis=-1)          # [H, W, 3]
+    d_w = d_cam @ R.T
+    best_t = np.full((h, w), np.inf)
+    img = np.full((h, w), world.background, np.float32)
+    depth = np.zeros((h, w), np.float32)
+    for pl in world.planes:
+        denom = d_w @ pl.n
+        facing = denom < -1e-9          # ray runs against the normal
+        t = np.where(facing, ((pl.p0 - C) @ pl.n) / np.where(
+            facing, denom, -1.0), np.inf)
+        hit = facing & (t > 0.05) & (t < best_t)
+        if not hit.any():
+            continue
+        t = np.where(hit, t, 0.0)       # keep inf out of the arithmetic
+        X = C[None, None, :] + t[..., None] * d_w
+        rel = X - pl.p0[None, None, :]
+        tu = (rel @ pl.eu) * pl.scale
+        tv = (rel @ pl.ev) * pl.scale
+        Th, Tw = pl.tex.shape
+        x0 = np.floor(tu).astype(np.int64)
+        y0 = np.floor(tv).astype(np.int64)
+        ax = (tu - x0).astype(np.float32)
+        ay = (tv - y0).astype(np.float32)
+        x0m, y0m = x0 % Tw, y0 % Th
+        x1m, y1m = (x0 + 1) % Tw, (y0 + 1) % Th
+        tex = pl.tex
+        val = (tex[y0m, x0m] * (1 - ay) * (1 - ax)
+               + tex[y0m, x1m] * (1 - ay) * ax
+               + tex[y1m, x0m] * ay * (1 - ax)
+               + tex[y1m, x1m] * ay * ax)
+        img = np.where(hit, val, img)
+        # depth along the camera z axis (t is along the unnormalized ray
+        # whose camera-frame z component is exactly 1)
+        depth = np.where(hit, t.astype(np.float32), depth)
+        best_t = np.where(hit, t, best_t)
+    if rng is not None and noise > 0:
+        img = img + rng.normal(0.0, noise, img.shape).astype(np.float32)
+    img = np.clip(img, 0.0, 255.0).astype(np.float32)
+    if with_depth:
+        return img, depth
+    return img
+
+
+def render_world_stereo(world: World, cam: CameraConfig, Tcw: np.ndarray,
+                        rng: Optional[np.random.Generator] = None,
+                        noise: float = 2.0
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    b = cam.baseline
+    T_rl = np.eye(4)
+    T_rl[0, 3] = -b
+    left = render_world(world, cam, Tcw, rng, noise)
+    right = render_world(world, cam, T_rl @ Tcw, rng, noise)
+    return left, right
+
+
 def straight_trajectory(n: int, step: float = 0.25,
                         start: Tuple[float, float, float] = (0, 0, 0)
                         ) -> List[np.ndarray]:

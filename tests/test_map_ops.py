@@ -20,16 +20,18 @@ def _random_map(rng, K=12, N=40, P=160):
         capacity=CapacityConfig(max_keyframes=K, max_map_points=P),
         sensor=STEREO)
     ms = M.empty_map(cfg)
+    Np = ms.N                      # feature arrays are padded to ms.N
     kf_valid = rng.random(K) < 0.8
     kf_valid[0] = True
-    kp_valid = rng.random((K, N)) < 0.9
+    kp_valid = rng.random((K, Np)) < 0.9
+    kp_valid[:, N:] = False        # padding tail carries no features
     # at most one feature per (kf, point) — the real-map invariant
     # (resolve_duplicates / add_observations maintain it)
-    kf_mp = np.full((K, N), -1, np.int32)
+    kf_mp = np.full((K, Np), -1, np.int32)
     for k in range(K):
         ids = rng.choice(P, size=N, replace=False)
         drop = rng.random(N) < 0.5
-        kf_mp[k] = np.where(drop, -1, ids)
+        kf_mp[k, :N] = np.where(drop, -1, ids)
     mp_valid = rng.random(P) < 0.7
     ms = ms._replace(
         kf_valid=jnp.asarray(kf_valid),

@@ -1,10 +1,8 @@
-"""Probe: steady-state SLAM-mode timing + keyframe-decision internals.
+"""Probe: log NeedNewKeyFrame inputs per frame + time mapping-step parts.
 
-Runs the synchronous engine over a synthetic stereo sequence and prints
-per-frame timing plus the NeedNewKeyFrame inputs, so keyframe-cadence /
-throughput pathologies are visible (VERDICT r2 weak #1/#2).
+Diagnoses keyframe cadence (why kf-per-frame?) and the mapping-step cost
+breakdown on the real chip.
 """
-import json
 import os
 import sys
 import time
@@ -21,11 +19,9 @@ def main():
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    import jax.numpy as jnp
     from orbslam2_tpu.config import (CameraConfig, CapacityConfig, OrbConfig,
                                      STEREO, SlamConfig)
     from orbslam2_tpu.runtime.slam import SlamEngine
-    from orbslam2_tpu.runtime import tracking
     from orbslam2_tpu.utils import synthetic
 
     cfg = SlamConfig(
@@ -39,34 +35,33 @@ def main():
 
     rng = np.random.default_rng(0)
     world = synthetic.make_world(rng)
-    n_frames = 48
+    n_frames = 40
     poses = synthetic.straight_trajectory(n_frames, step=0.25)
     frames = [synthetic.render_world_stereo(world, cfg.camera, T, rng,
                                             noise=1.0) for T in poses]
 
     eng = SlamEngine(cfg, enable_loop_closing=False)
 
-    records = []
+    orig = eng._need_new_keyframe
+
+    def spy(sm):
+        r = orig(sm)
+        ref_m = max(sm.ref_tracked3 if eng.kf_ordinal > 2
+                    else sm.ref_tracked2, 1)
+        print(f"  kfdec: inl={sm.n_inliers_map} refm={ref_m} "
+              f"th={0.75 * ref_m:.0f} tc={sm.n_tracked_close} "
+              f"ntc={sm.n_nontracked_close} "
+              f"since={eng.frame_id - eng.last_kf_frame_id} -> {r}",
+              flush=True)
+        return r
+    eng._need_new_keyframe = spy
+
     for i, (L, R) in enumerate(frames):
-        kf_before = eng.stats["kf_inserted"]
         t0 = time.perf_counter()
         eng.track_stereo(L, R, 0.1 * i)
         dt = (time.perf_counter() - t0) * 1e3
-        rec = dict(i=i, ms=round(dt, 1),
-                   kf=eng.stats["kf_inserted"] - kf_before,
-                   state=eng.state, n_kfs=eng.n_kfs,
-                   live_pts=eng.n_live_points)
-        records.append(rec)
-        print(rec, flush=True)
-
-    warm = [r["ms"] for r in records[16:]]
-    kfs = sum(r["kf"] for r in records[16:])
-    print(json.dumps({
-        "steady_fps": round(1e3 * len(warm) / sum(warm), 2),
-        "mean_ms": round(float(np.mean(warm)), 1),
-        "kf_per_frame": round(kfs / len(warm), 2),
-        "stats": eng.stats,
-    }))
+        print(f"frame {i}: {dt:.0f} ms kfs={eng.n_kfs} "
+              f"pts={eng.n_live_points}", flush=True)
 
 
 if __name__ == "__main__":
