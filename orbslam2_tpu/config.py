@@ -182,7 +182,10 @@ class CapacityConfig:
     kf_cull_victims: int = 2
     grid_cols: int = 64                    # Frame.h FRAME_GRID_COLS
     grid_rows: int = 48                    # Frame.h FRAME_GRID_ROWS
-    vocab_levels: int = 6                  # BoW tree depth (k^L words)
+    # BoW tree: k^levels words.  10⁴ matches the reference vocabulary's
+    # discrimination at ≤512-KF map scale while keeping keyframe-DB
+    # scoring a dense [K, W] matvec (models/vocabulary.py rationale)
+    vocab_levels: int = 4
     vocab_k: int = 10
 
 
@@ -339,17 +342,64 @@ def _parse_opencv_yaml(text: str) -> Dict[str, Any]:
     """Parse OpenCV FileStorage YAML into a flat dict.
 
     PyYAML chokes on the ``%YAML:1.0`` directive; the files are otherwise a
-    flat `key: value` list, so a line parser is both robust and sufficient.
+    flat `key: value` list plus ``!!opencv-matrix`` blocks (the LEFT./RIGHT.
+    rectification matrices of Stereo-EuRoC.yaml, stereo_euroc.cc:73-86) —
+    matrices land in the dict as numpy [rows, cols] float64 arrays.
     """
+    import numpy as _np
+
     flat: Dict[str, Any] = {}
+    mat_key = None
+    mat: Dict[str, Any] = {}
+    data_open = False
+
+    def close_matrix():
+        nonlocal mat_key, mat, data_open
+        if mat_key is not None and "data" in mat:
+            arr = _np.asarray(mat["data"], _np.float64)
+            flat[mat_key] = arr.reshape(int(mat.get("rows", 1)),
+                                        int(mat.get("cols", arr.size)))
+        mat_key, mat, data_open = None, {}, False
+
     for line in text.splitlines():
         line = line.split("#", 1)[0].rstrip()
-        if not line or line.startswith("%"):
+        if not line or line.lstrip().startswith("%"):
             continue
-        m = re.match(r"^\s*([\w./]+)\s*:\s*(.+?)\s*$", line)
+        if data_open:
+            chunk = line.strip().rstrip(",")
+            done = chunk.endswith("]")
+            mat["data"] += [float(x) for x in
+                            chunk.strip("[]").replace(",", " ").split() if x]
+            if done:
+                data_open = False
+                close_matrix()
+            continue
+        m = re.match(r"^(\s*)([\w./]+)\s*:\s*(.*?)\s*$", line)
         if not m:
             continue
-        key, val = m.group(1), m.group(2)
+        indent, key, val = m.group(1), m.group(2), m.group(3)
+        if mat_key is not None and indent:
+            if key in ("rows", "cols"):
+                mat[key] = int(val)
+            elif key == "dt":
+                pass
+            elif key == "data":
+                body = val.strip()
+                vals = [float(x) for x in
+                        body.strip("[]").replace(",", " ").split() if x]
+                mat["data"] = vals
+                if not body.endswith("]"):
+                    data_open = True
+                else:
+                    close_matrix()
+            continue
+        if mat_key is not None:
+            close_matrix()
+        if val.startswith("!!opencv-matrix"):
+            mat_key, mat = key, {}
+            continue
+        if not val:
+            continue
         if re.fullmatch(r"[-+]?\d+", val):
             flat[key] = int(val)
         else:
@@ -357,4 +407,5 @@ def _parse_opencv_yaml(text: str) -> Dict[str, Any]:
                 flat[key] = float(val)
             except ValueError:
                 flat[key] = val.strip('"')
+    close_matrix()
     return flat

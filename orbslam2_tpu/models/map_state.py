@@ -33,6 +33,7 @@ from orbslam2_tpu.ops import matching
 from orbslam2_tpu.utils import lie
 
 NO_MP = -1
+DESC_RING = 4   # recent observation descriptors kept per map point
 
 
 class MapState(NamedTuple):
@@ -54,6 +55,8 @@ class MapState(NamedTuple):
     mp_pos: jax.Array         # [P, 3]
     mp_valid: jax.Array       # [P] bool
     mp_desc: jax.Array        # [P, 8] uint32 representative descriptor
+    mp_desc_ring: jax.Array   # [P, DESC_RING, 8] recent obs descriptors
+    mp_desc_n: jax.Array      # [P] int32 descriptors ever stored
     mp_normal_sum: jax.Array  # [P, 3] running sum of unit viewing rays
     mp_n_obs: jax.Array       # [P] int32 observation count
     mp_min_dist: jax.Array    # [P] scale-invariance band (unslackened)
@@ -108,6 +111,8 @@ def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapState:
         mp_pos=jnp.zeros((P, 3), dtype),
         mp_valid=jnp.zeros(P, bool),
         mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_desc_ring=jnp.zeros((P, DESC_RING, 8), jnp.uint32),
+        mp_desc_n=jnp.zeros(P, jnp.int32),
         mp_normal_sum=jnp.zeros((P, 3), dtype),
         mp_n_obs=jnp.zeros(P, jnp.int32),
         mp_min_dist=jnp.zeros(P, dtype),
@@ -171,15 +176,48 @@ def add_observations(ms: MapState, kf: jax.Array, feat_idx: jax.Array,
     # nObs by 2 when mvuRight ≥ 0) — the culling thresholds depend on this
     inc = jnp.where(ms.kf_ur[kf, f_safe] >= 0, 2, 1)
     n_obs = ms.mp_n_obs.at[mp_safe].add(jnp.where(ok, inc, 0))
-    # refresh descriptor + scale band from this observation
+    # scale band from this observation
     lvl = ms.kf_level[kf, f_safe].astype(ms.mp_pos.dtype)
     maxd = dist * jnp.power(scale_factor, lvl)
     mind = maxd / (scale_factor ** (n_levels - 1))
-    desc = ms.mp_desc.at[mp_oob].set(ms.kf_desc[kf, f_safe])
     max_dist = ms.mp_max_dist.at[mp_oob].set(maxd)
     min_dist = ms.mp_min_dist.at[mp_oob].set(mind)
+
+    # distinctive descriptor (MapPoint::ComputeDistinctiveDescriptors,
+    # MapPoint.cc:242): among the stored observation descriptors, pick the
+    # one with minimum median Hamming distance to the others.  The
+    # reference scans ALL observations; we keep a DESC_RING-deep ring of
+    # the most recent ones (bounded state, same selection rule).
+    new_desc = ms.kf_desc[kf, f_safe]                   # [n, 8]
+    cnt = ms.mp_desc_n[mp_safe]                         # [n]
+    ring_pos = cnt % DESC_RING
+    ring = ms.mp_desc_ring.at[mp_oob, ring_pos].set(new_desc)
+    desc_n = ms.mp_desc_n.at[mp_oob].add(1)
+
+    cand = ring[mp_safe]                                # [n, R, 8]
+    n_stored = jnp.minimum(cnt + 1, DESC_RING)          # [n]
+    slot_ok = (jnp.arange(DESC_RING)[None, :]
+               < n_stored[:, None])                     # [n, R]
+    dmat = jnp.sum(jax.lax.population_count(
+        cand[:, :, None, :] ^ cand[:, None, :, :]), axis=-1)  # [n, R, R]
+    big = jnp.int32(1 << 20)
+    pair_ok = slot_ok[:, :, None] & slot_ok[:, None, :]
+    dmat = jnp.where(pair_ok, dmat, big)
+    # median distance of each slot to the others (self-distance 0 included,
+    # as in the reference's vDists row): sort row, take element at
+    # (n_stored-1)//2
+    dsort = jnp.sort(dmat, axis=-1)                     # [n, R, R]
+    med_idx = (n_stored - 1) // 2
+    med = jnp.take_along_axis(
+        dsort, med_idx[:, None, None].repeat(DESC_RING, 1), axis=-1)[..., 0]
+    med = jnp.where(slot_ok, med, big)                  # [n, R]
+    best_slot = jnp.argmin(med, axis=-1)                # [n]
+    rep = jnp.take_along_axis(
+        cand, best_slot[:, None, None].repeat(8, -1), axis=1)[:, 0]
+    desc = ms.mp_desc.at[mp_oob].set(rep)
     return ms._replace(kf_mp=kf_mp, mp_normal_sum=normal_sum, mp_n_obs=n_obs,
-                       mp_desc=desc, mp_max_dist=max_dist, mp_min_dist=min_dist)
+                       mp_desc=desc, mp_desc_ring=ring, mp_desc_n=desc_n,
+                       mp_max_dist=max_dist, mp_min_dist=min_dist)
 
 
 def alloc_mp_slots(ms: MapState, ok: jax.Array
@@ -219,6 +257,7 @@ def add_map_points(ms: MapState, slots: jax.Array, pos: jax.Array,
         mp_valid=ms.mp_valid.at[s].set(True),
         mp_normal_sum=ms.mp_normal_sum.at[s].set(zero3),
         mp_n_obs=ms.mp_n_obs.at[s].set(0),
+        mp_desc_n=ms.mp_desc_n.at[s].set(0),
         mp_ref_kf=ms.mp_ref_kf.at[s].set(ref_kf),
         mp_first_kf=ms.mp_first_kf.at[s].set(first_kf),
         mp_visible=ms.mp_visible.at[s].set(1),
@@ -315,15 +354,35 @@ def mp_projection_query(ms: MapState) -> matching.ProjectionQuery:
 def remove_observations(ms: MapState, kf: jax.Array, feat_idx: jax.Array,
                         ok: jax.Array) -> MapState:
     """Erase feature→MP associations (outlier erasure after BA,
-    Optimizer.cc:755-801).  Decrements n_obs; does not rebuild normals
-    (the incremental sum keeps stale rays — refreshed on next BA pass)."""
+    Optimizer.cc:755-801).  Decrements n_obs (by 2 for stereo features,
+    mirroring AddObservation); does not rebuild normals (the incremental
+    sum keeps stale rays — refreshed on next BA pass)."""
     f_safe = jnp.where(ok, feat_idx, 0)
     mp = ms.kf_mp[kf, f_safe]
     really = ok & (mp >= 0)
-    mp_safe = jnp.where(really, mp, 0)
+    mp_oob = jnp.where(really, mp, ms.P)
     f_oob = jnp.where(really, feat_idx, ms.N)
     kf_mp = ms.kf_mp.at[kf, f_oob].set(NO_MP)
-    n_obs = ms.mp_n_obs.at[mp_safe].add(-really.astype(jnp.int32))
+    dec = jnp.where(ms.kf_ur[kf, f_safe] >= 0, 2, 1)
+    n_obs = ms.mp_n_obs.at[mp_oob].add(-dec)
+    return ms._replace(kf_mp=kf_mp, mp_n_obs=n_obs)
+
+
+def remove_observations_batch(ms: MapState, kfs: jax.Array,
+                              ok2d: jax.Array) -> MapState:
+    """Batched outlier erasure over many keyframes in ONE scatter pair —
+    replaces the per-window-keyframe fori_loop after local BA.
+    kfs: [M] keyframe ids; ok2d: [M, N] features to erase."""
+    Mk, N = ok2d.shape
+    f_idx = jnp.arange(N, dtype=jnp.int32)
+    mp = ms.kf_mp[kfs]                            # [M, N]
+    really = ok2d & (mp >= 0)
+    mp_oob = jnp.where(really, mp, ms.P)
+    f_oob = jnp.where(really, f_idx[None, :], ms.N)
+    kf_rows = jnp.repeat(kfs[:, None], N, axis=1)
+    kf_mp = ms.kf_mp.at[kf_rows, f_oob].set(NO_MP)
+    dec = jnp.where(ms.kf_ur[kfs] >= 0, 2, 1)
+    n_obs = ms.mp_n_obs.at[mp_oob].add(-dec)
     return ms._replace(kf_mp=kf_mp, mp_n_obs=n_obs)
 
 

@@ -105,14 +105,21 @@ def build_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
 
 # ------------------------------------------------------------- default -----
 
-_CACHE = os.path.join(os.path.dirname(__file__), "..", "..", "data",
-                      "vocab_k10_l3.npz")
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "data")
+
+# Default tree: k=10, levels=4 ⇒ 10,000 words (the reference ships a ~1M-
+# word orb_mur.fbow; 10⁴ matches its discrimination at our map scales
+# while keeping the [K, W] keyframe-DB dense-matvec layout — W=10⁶ would
+# force an inverted-file structure for no recall gain on ≤512-KF maps).
+DEFAULT_K = 10
+DEFAULT_LEVELS = 4
 
 
-def harvest_training_descriptors(n_scenes: int = 8, seed: int = 11
-                                 ) -> np.ndarray:
-    """Extract ORB descriptors from random synthetic scenes — the stand-in
-    for the reference's pre-trained corpus."""
+def harvest_training_descriptors(n_worlds: int = 12, views_per_world: int = 6,
+                                 seed: int = 11) -> np.ndarray:
+    """Extract ORB descriptors from randomized textured-plane worlds — the
+    stand-in for the reference's pre-trained corpus (trained on varied
+    real imagery).  ~70k descriptors from 72 views of 12 worlds."""
     import jax.numpy as jnp
 
     from orbslam2_tpu.config import CameraConfig, OrbConfig
@@ -120,31 +127,38 @@ def harvest_training_descriptors(n_scenes: int = 8, seed: int = 11
     from orbslam2_tpu.utils import synthetic
 
     rng = np.random.default_rng(seed)
-    cam = CameraConfig()
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0, bf=150.0,
+                       width=640, height=480)
     orb = OrbConfig(n_features=1000)
     out = []
-    for s in range(n_scenes):
-        scene = synthetic.make_scene(rng, 700)
-        pose = synthetic.look_ahead_pose(
-            np.array([rng.uniform(-1, 1), rng.uniform(-0.5, 0.5), 0.0]))
-        img = synthetic.render(scene, cam, pose, rng, noise=2.0)
-        f = extractor.extract(jnp.asarray(img), orb)
-        v = np.asarray(f.valid)
-        out.append(np.asarray(f.desc)[v])
+    for w in range(n_worlds):
+        world = synthetic.make_world(rng, kind="random")
+        for v in range(views_per_world):
+            pose = synthetic.look_ahead_pose(
+                np.array([rng.uniform(-2, 2), rng.uniform(-1, 1),
+                          rng.uniform(0, 6)]),
+                yaw=rng.uniform(-0.4, 0.4))
+            img = synthetic.render_world(world, cam, pose, rng, noise=2.0)
+            f = extractor.extract(jnp.asarray(img), orb)
+            m = np.asarray(f.valid)
+            out.append(np.asarray(f.desc)[m])
     return np.concatenate(out)
 
 
-def default_vocabulary(force_rebuild: bool = False) -> Vocabulary:
+def default_vocabulary(force_rebuild: bool = False,
+                       k: int = DEFAULT_K,
+                       levels: int = DEFAULT_LEVELS) -> Vocabulary:
     """Load the cached default vocabulary, building it on first use."""
-    path = os.path.abspath(_CACHE)
+    path = os.path.abspath(os.path.join(
+        _DATA_DIR, f"vocab_k{k}_l{levels}.npz"))
     if not force_rebuild and os.path.exists(path):
         z = np.load(path)
-        levels = int(z["levels"])
-        cents = tuple(z[f"cent{d}"] for d in range(levels))
+        lv = int(z["levels"])
+        cents = tuple(z[f"cent{d}"] for d in range(lv))
         return Vocabulary(centroids=cents, idf=z["idf"], k=int(z["k"]),
-                          levels=levels)
+                          levels=lv)
     desc = harvest_training_descriptors()
-    voc = build_vocabulary(desc, k=10, levels=3)
+    voc = build_vocabulary(desc, k=k, levels=levels)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(
         path, idf=voc.idf, k=voc.k, levels=voc.levels,

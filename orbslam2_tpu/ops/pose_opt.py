@@ -128,23 +128,34 @@ def pose_optimization(
         # iteration — measured 2× slower on TPU, where the 80-iteration
         # dependency chain is latency-bound.)
         def iteration(carry, _):
-            T_best, H_best, b_best, chi2_best, lam = carry
-            H_lm = H_best + lam * jnp.eye(6, dtype=H_best.dtype)
-            dx = -jnp.linalg.solve(H_lm, b_best)
-            T_cand = lie.se3_exp(dx) @ T_best
-            H_c, b_c, chi2_c = _normal_eq(T_cand, inlier, use_huber)
-            accept = chi2_c < chi2_best
-            T_best = jnp.where(accept, T_cand, T_best)
-            H_best = jnp.where(accept, H_c, H_best)
-            b_best = jnp.where(accept, b_c, b_best)
-            chi2_best = jnp.where(accept, chi2_c, chi2_best)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return (T_best, H_best, b_best, chi2_best, lam), None
+            T_best, H_best, b_best, chi2_best, lam, done = carry
+
+            def work(_):
+                H_lm = H_best + lam * jnp.eye(6, dtype=H_best.dtype)
+                dx = -jnp.linalg.solve(H_lm, b_best)
+                T_cand = lie.se3_exp(dx) @ T_best
+                H_c, b_c, chi2_c = _normal_eq(T_cand, inlier, use_huber)
+                accept = chi2_c < chi2_best
+                gain = (chi2_best - chi2_c) / jnp.maximum(chi2_best, 1e-9)
+                # g2o-style termination: converged (tiny relative gain on
+                # an accepted step) or stuck (λ blown up) — remaining scan
+                # iterations take the no-op branch, so fixed trip counts
+                # stop costing fixed device time
+                done2 = (accept & (gain < 1e-5)) | (lam > 1e7)
+                return (jnp.where(accept, T_cand, T_best),
+                        jnp.where(accept, H_c, H_best),
+                        jnp.where(accept, b_c, b_best),
+                        jnp.where(accept, chi2_c, chi2_best),
+                        jnp.where(accept, lam * 0.5, lam * 4.0),
+                        done2)
+
+            carry = jax.lax.cond(done, lambda _: carry, work, None)
+            return carry, None
 
         H0, b0, chi2_0 = _normal_eq(Tcw, inlier, use_huber)
         lam0 = jnp.asarray(opt_cfg.initial_lambda, Tcw.dtype)
-        (Tcw, _, _, _, _), _ = jax.lax.scan(
-            iteration, (Tcw, H0, b0, chi2_0, lam0), None,
+        (Tcw, _, _, _, _, _), _ = jax.lax.scan(
+            iteration, (Tcw, H0, b0, chi2_0, lam0, jnp.bool_(False)), None,
             length=iters_per_round)
         return Tcw
 

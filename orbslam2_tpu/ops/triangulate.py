@@ -28,7 +28,15 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, uv1: jax.Array,
 
     P1/P2: [3, 4] projection matrices (K[R|t]); uv1/uv2: [N, 2].
     Returns [N, 3] world points.
+
+    Inhomogeneous DLT (w=1): the 4×4 smallest-singular-vector problem
+    becomes a closed-form 3×3 normal-equation solve — pure VPU elementwise
+    math where batched eig/SVD lowers to a slow iterative kernel on TPU.
+    Points at infinity (where w=1 degenerates) are rejected downstream by
+    the parallax gate (cos_par < 0.9998) in every caller.
     """
+    from orbslam2_tpu.ops.bundle import _inv3x3
+
     rows = [
         uv1[:, 0:1] * P1[2] - P1[0],
         uv1[:, 1:2] * P1[2] - P1[1],
@@ -36,12 +44,11 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, uv1: jax.Array,
         uv2[:, 1:2] * P2[2] - P2[1],
     ]
     A = jnp.stack(rows, axis=1)                      # [N, 4, 4]
-    # smallest right singular vector via eigh of AᵀA (faster than SVD for 4×4)
-    AtA = jnp.einsum("nij,nik->njk", A, A)
-    w, V = jnp.linalg.eigh(AtA)
-    X = V[..., 0]                                    # [N, 4]
-    wcoord = X[:, 3]
-    return X[:, :3] / jnp.where(jnp.abs(wcoord) < 1e-12, 1e-12, wcoord)[:, None]
+    B = A[:, :, :3]
+    b = -A[:, :, 3]
+    BtB = jnp.einsum("nij,nik->njk", B, B)
+    Btb = jnp.einsum("nij,ni->nj", B, b)
+    return jnp.einsum("nij,nj->ni", _inv3x3(BtB), Btb)
 
 
 class TriangulationResult(NamedTuple):
@@ -63,15 +70,28 @@ def make_triangulation_bodies(cfg: SlamConfig):
     def triangulate_between(ms: M.MapState, kf1: jax.Array, kf2: jax.Array
                             ) -> TriangulationResult:
         """Candidate points between keyframes kf1/kf2 from features not yet
-        associated to any map point."""
+        associated to any map point.
+
+        The kf1 side is compacted to its free features before the [·, N]
+        epipolar/Hamming matrices — after tracking, well under half of a
+        keyframe's features are unassociated, and this kernel runs
+        ``triangulation_neighbors`` times per insertion."""
+        N = ms.N
+        R1 = max(256, N // 2)                   # compacted kf1 rows
         T1, T2 = ms.kf_pose[kf1], ms.kf_pose[kf2]
-        free1 = ms.kf_kp_valid[kf1] & (ms.kf_mp[kf1] < 0)
+        free1_full = ms.kf_kp_valid[kf1] & (ms.kf_mp[kf1] < 0)
         free2 = ms.kf_kp_valid[kf2] & (ms.kf_mp[kf2] < 0)
-        m, _ = matching.search_for_triangulation(
+        _, rows = jax.lax.top_k(free1_full.astype(jnp.float32), R1)
+        free1 = free1_full[rows]
+        m_c, _ = matching.search_for_triangulation(
             cam, T1, T2,
-            ms.kf_xy[kf1], ms.kf_level[kf1], ms.kf_desc[kf1], free1,
+            ms.kf_xy[kf1][rows], ms.kf_level[kf1][rows],
+            ms.kf_desc[kf1][rows], free1,
             ms.kf_xy[kf2], ms.kf_level[kf2], ms.kf_desc[kf2], free2,
-            ms.kf_angle[kf1], ms.kf_angle[kf2], sigma2)
+            ms.kf_angle[kf1][rows], ms.kf_angle[kf2], sigma2)
+        # scatter the compacted matches back to full [N] alignment
+        m = jnp.full((N + 1,), -1, jnp.int32).at[
+            jnp.where(free1, rows, N)].set(m_c)[:N]
         ok = m >= 0
         msafe = jnp.where(ok, m, 0)
         uv1 = ms.kf_xy[kf1]

@@ -29,6 +29,16 @@ from orbslam2_tpu.utils import camera as cam_mod
 _OBS_FIELDS = ("cam_i", "pt_i", "uv", "ur", "inv_sigma2", "valid")
 
 
+def _put_global(v, sharding):
+    """Place a host array under ``sharding``; works on single-process AND
+    multi-process meshes (every process holds the same full ``v`` and
+    contributes its addressable shards)."""
+    import numpy as np
+    v = np.asarray(v)
+    return jax.make_array_from_callback(v.shape, sharding,
+                                        lambda idx: v[idx])
+
+
 def shard_problem(mesh: Mesh, prob: bundle.BAProblem) -> bundle.BAProblem:
     """Pad observation arrays to the mesh size and lay them out sharded;
     poses/points replicated."""
@@ -46,22 +56,19 @@ def shard_problem(mesh: Mesh, prob: bundle.BAProblem) -> bundle.BAProblem:
     for f in prob._fields:
         v = getattr(prob, f)
         if f in _OBS_FIELDS:
-            v = pad_obs(v)
-            if f == "valid":
-                # padded rows are dead observations
-                pass
-            out[f] = jax.device_put(v, obs_sh)
+            # padded rows carry valid=False ⇒ dead observations
+            out[f] = _put_global(pad_obs(v), obs_sh)
         else:
-            out[f] = jax.device_put(v, repl)
+            out[f] = _put_global(v, repl)
     return bundle.BAProblem(**out)
 
 
 @functools.partial(jax.jit, static_argnames=("n_free", "iters_a", "iters_b",
-                                             "fix_first_free"))
-def _ba_jit(cam, prob, n_free, iters_a, iters_b, fix_first_free):
+                                             "fix_first_free", "solver"))
+def _ba_jit(cam, prob, n_free, iters_a, iters_b, fix_first_free, solver):
     return bundle.bundle_adjust(cam, prob, n_free, iters_a=iters_a,
                                 iters_b=iters_b,
-                                fix_first_free=fix_first_free)
+                                fix_first_free=fix_first_free, solver=solver)
 
 
 def distributed_bundle_adjust(
@@ -72,11 +79,19 @@ def distributed_bundle_adjust(
     iters_a: int = 5,
     iters_b: int = 10,
     fix_first_free: bool = False,
+    solver: str = "dense",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (poses, points, obs_inlier[: original O])."""
+    """Returns (poses, points, obs_inlier[: original O]).
+
+    ``solver="cg"`` runs the matrix-free Schur path (ops/bundle.py):
+    per-observation coupling blocks stay sharded with the observations, so
+    every CG matvec is local partial segment-sums + one psum of the [C, 6]
+    result — the communication volume is O(C) per iteration, independent
+    of the observation count, which is what lets global BA ride DCN at
+    multi-host sizes."""
     O = prob.cam_i.shape[0]
     sp = shard_problem(mesh, prob)
     with mesh:
         poses, points, inlier = _ba_jit(cam, sp, n_free, iters_a, iters_b,
-                                        fix_first_free)
+                                        fix_first_free, solver)
     return poses, points, inlier[:O]

@@ -1,0 +1,233 @@
+"""Background preemptible global bundle adjustment.
+
+The reference spawns GBA in its own thread per loop closure
+(/root/reference/src/LoopClosing.cc:613), aborts it via ``mbStopGBA`` when
+a newer loop arrives (:446-459), and — on completion — stops LocalMapping
+briefly and propagates the corrections through the spanning tree to
+keyframes created *while* GBA was running, then corrects map points
+through their reference keyframes (:679-788).
+
+TPU-native equivalents here:
+
+  * the GBA itself is the matrix-free CG Schur solver
+    (ops/bundle.bundle_adjust(solver="cg")) over an immutable MapState
+    snapshot — no locks are needed because tracking/mapping never see the
+    snapshot again;
+  * preemption = the solve runs in bounded chunks (5 LM iterations per
+    dispatch) with the abort flag checked between chunks — the same
+    granularity as g2o's per-iteration ``_forceStopFlag`` check;
+  * propagation = one jitted merge over the CURRENT map: snapshot
+    keyframes take their optimized poses, keyframes inserted during GBA
+    are rebased through spanning-tree parents (fixed-depth iteration),
+    and points follow either their optimized position or their reference
+    keyframe's correction.  Slot reuse (culled keyframe / point rows
+    recycled mid-GBA) is guarded by identity checks on kf_frame_id /
+    mp_first_kf, not slot numbers.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import SlamConfig
+from orbslam2_tpu.models import map_state as M
+from orbslam2_tpu.ops import bundle
+from orbslam2_tpu.utils import camera as cam_mod
+from orbslam2_tpu.utils import lie
+
+PROPAGATE_DEPTH = 8   # spanning-tree chains among keyframes born mid-GBA
+
+
+class GbaResult(NamedTuple):
+    snap_kf_frame_id: jax.Array   # [K] identity of snapshot keyframes
+    snap_kf_valid: jax.Array      # [K]
+    old_poses: jax.Array          # [K, 4, 4] poses at snapshot time
+    new_poses: jax.Array          # [K, 4, 4] optimized
+    snap_mp_first: jax.Array      # [P] identity of snapshot points
+    snap_mp_valid: jax.Array      # [P]
+    new_points: jax.Array         # [P, 3] optimized
+
+
+def make_gba_fns(cfg: SlamConfig):
+    cam = cam_mod.Camera.from_config(cfg.camera)
+    K = cfg.capacity.max_keyframes
+    N = cfg.orb.n_features_padded
+    sigma2 = np.array([cfg.orb.scale_factor ** (2 * l)
+                       for l in range(cfg.orb.n_levels)], np.float32)
+    inv_sigma2 = (1.0 / sigma2).astype(np.float32)
+
+    def _problem(ms: M.MapState, valid_obs):
+        kfm = ms.kf_mp
+        cam_i = jnp.repeat(jnp.arange(K, dtype=jnp.int32)[:, None], N, axis=1)
+        return bundle.BAProblem(
+            poses=ms.kf_pose, points=ms.mp_pos, point_valid=ms.mp_valid,
+            cam_i=cam_i.reshape(-1),
+            pt_i=jnp.where(valid_obs, kfm, 0).reshape(-1),
+            uv=ms.kf_xy.reshape(-1, 2), ur=ms.kf_ur.reshape(-1),
+            inv_sigma2=jnp.asarray(inv_sigma2)[ms.kf_level].reshape(-1),
+            valid=valid_obs.reshape(-1))
+
+    @jax.jit
+    def gba_chunk(ms: M.MapState, obs_w: jax.Array, use_huber: jax.Array
+                  ) -> Tuple[M.MapState, jax.Array]:
+        """5 LM iterations of full-map CG-Schur BA; returns the updated
+        snapshot and the post-chunk inlier mask [K·N] (feeds the next
+        chunk's weights, mirroring Optimizer.cc:703-753)."""
+        obs_ok = (ms.kf_mp >= 0) & ms.kf_kp_valid & ms.kf_valid[:, None] \
+            & obs_w.reshape(K, N)
+        prob = _problem(ms, obs_ok)
+        # one chunk = iters_a of robust LM (first chunk) or plain LM
+        poses_h, points_h, inlier_h = bundle.bundle_adjust(
+            cam, prob, n_free=K, iters_a=5, iters_b=0,
+            fix_first_free=True, solver="cg")
+        poses_p, points_p, inlier_p = bundle.bundle_adjust(
+            cam, prob, n_free=K, iters_a=0, iters_b=5,
+            fix_first_free=True, solver="cg")
+        poses = jnp.where(use_huber, poses_h, poses_p)
+        points = jnp.where(use_huber, points_h, points_p)
+        inlier = jnp.where(use_huber, inlier_h, inlier_p)
+        ms = ms._replace(
+            kf_pose=jnp.where(ms.kf_valid[:, None, None], poses, ms.kf_pose),
+            mp_pos=jnp.where(ms.mp_valid[:, None], points, ms.mp_pos))
+        return ms, inlier
+
+    @jax.jit
+    def merge(ms: M.MapState, res: GbaResult) -> M.MapState:
+        """Apply a finished GBA to the CURRENT map (LoopClosing.cc:715-775).
+        """
+        # snapshot keyframes still alive under the same identity
+        in_snap = (res.snap_kf_valid & ms.kf_valid
+                   & (ms.kf_frame_id == res.snap_kf_frame_id))
+        pose_now = ms.kf_pose
+        corrected = in_snap
+        pose_new = jnp.where(in_snap[:, None, None], res.new_poses, pose_now)
+
+        # keyframes born during GBA: Tcw_new = Tcw_now · Twc_parent_now ·
+        # Tcw_parent_new, chained through the spanning tree
+        par = jnp.clip(ms.kf_parent, 0, ms.K - 1)
+
+        def prop(_, carry):
+            corrected, pose_new = carry
+            can = ms.kf_valid & (~corrected) & corrected[par] \
+                & (ms.kf_parent >= 0)
+            T_rel = jnp.einsum("kij,kjl->kil", pose_now,
+                               jax.vmap(lie.se3_inv)(pose_now[par]))
+            T_upd = jnp.einsum("kij,kjl->kil", T_rel, pose_new[par])
+            pose_new = jnp.where(can[:, None, None], T_upd, pose_new)
+            return corrected | can, pose_new
+
+        corrected, pose_new = jax.lax.fori_loop(
+            0, PROPAGATE_DEPTH, prop, (corrected, pose_new))
+
+        # points: optimized position if the slot identity survived,
+        # else corrected through the reference keyframe
+        pt_in_snap = (res.snap_mp_valid & ms.mp_valid
+                      & (ms.mp_first_kf == res.snap_mp_first))
+        ref = jnp.clip(ms.mp_ref_kf, 0, ms.K - 1)
+        ref_ok = corrected[ref]
+
+        def per_point_apply(T, X):
+            R, t = lie.mat_to_rt(T)
+            return jnp.einsum("pij,pj->pi", R, X) + t
+
+        X_cam = per_point_apply(pose_now[ref], ms.mp_pos)
+        X_corr = per_point_apply(
+            jax.vmap(lie.se3_inv)(pose_new[ref]), X_cam)
+        mp_pos = jnp.where(
+            pt_in_snap[:, None], res.new_points,
+            jnp.where((ms.mp_valid & ref_ok)[:, None], X_corr, ms.mp_pos))
+        kf_pose = jnp.where(corrected[:, None, None], pose_new, ms.kf_pose)
+        return ms._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+    return gba_chunk, merge
+
+
+class GbaManager:
+    """Owns the background GBA thread (the reference's dynamically spawned
+    ``RunGlobalBundleAdjustment`` thread + mbStopGBA/mbRunningGBA flags)."""
+
+    def __init__(self, cfg: SlamConfig, n_chunks: int = 3):
+        self.cfg = cfg
+        self.n_chunks = n_chunks
+        self.f_chunk, self.f_merge = make_gba_fns(cfg)
+        self._thread: Optional[threading.Thread] = None
+        self._abort = threading.Event()
+        self._result: Optional[GbaResult] = None
+        self._lock = threading.Lock()
+        self.stats = {"launched": 0, "aborted": 0, "finished": 0,
+                      "merged": 0}
+
+    # ------------------------------------------------------------ control
+    @property
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def launch(self, ms: M.MapState) -> None:
+        """Start GBA on an immutable snapshot of ``ms``.  A running GBA is
+        aborted first (LoopClosing.cc:446-459: a new loop supersedes)."""
+        self.abort()
+        self._abort.clear()
+        with self._lock:
+            self._result = None
+        self.stats["launched"] += 1
+        self._thread = threading.Thread(
+            target=self._run, args=(ms,), name="global-ba", daemon=True)
+        self._thread.start()
+
+    def abort(self) -> None:
+        """mbStopGBA: stop the running GBA and discard its work."""
+        if self.running:
+            self._abort.set()
+            self._thread.join()
+            self.stats["aborted"] += 1
+        self._thread = None
+        with self._lock:
+            self._result = None
+
+    def wait(self, timeout: Optional[float] = None) -> None:
+        """Block until the background solve finishes (replayer handshake,
+        System.cc:169-183)."""
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+
+    def poll_and_merge(self, ms: M.MapState) -> Tuple[M.MapState, bool]:
+        """If a finished (unaborted) GBA is pending, propagate it into the
+        current map.  Call from the map-owner context only."""
+        with self._lock:
+            res = self._result
+            self._result = None
+        if res is None:
+            return ms, False
+        self.stats["merged"] += 1
+        return self.f_merge(ms, res), True
+
+    # ------------------------------------------------------------- worker
+    def _run(self, snap: M.MapState) -> None:
+        K, N = snap.K, snap.N
+        obs_w = jnp.ones((K * N,), bool)
+        ms = snap
+        for chunk in range(self.n_chunks):
+            if self._abort.is_set():
+                return
+            ms, inlier = self.f_chunk(ms, obs_w,
+                                      jnp.bool_(chunk == 0))
+            jax.block_until_ready(ms.kf_pose)   # abort granularity
+            obs_w = inlier
+        if self._abort.is_set():
+            return
+        res = GbaResult(
+            snap_kf_frame_id=snap.kf_frame_id,
+            snap_kf_valid=snap.kf_valid,
+            old_poses=snap.kf_pose,
+            new_poses=ms.kf_pose,
+            snap_mp_first=snap.mp_first_kf,
+            snap_mp_valid=snap.mp_valid,
+            new_points=ms.mp_pos)
+        with self._lock:
+            self._result = res
+        self.stats["finished"] += 1

@@ -168,16 +168,12 @@ def make_mapping_fns(cfg: SlamConfig):
         mp_pos = ms.mp_pos.at[jnp.where(pt_sel, pt_ids, ms.P)].set(points)
         ms = ms._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
-        # erase outlier observations (Optimizer.cc:755-801)
+        # erase outlier observations (Optimizer.cc:755-801) — one batched
+        # scatter over the whole window instead of L+F sequential passes
         outlier = prob.valid & (~inlier)
         out2d = outlier.reshape(L + F, N)
         n_removed = jnp.sum(outlier.astype(jnp.int32))
-        feat_idx = jnp.arange(N, dtype=jnp.int32)
-
-        def body(i, ms_):
-            return M.remove_observations(ms_, window_ids[i], feat_idx,
-                                         out2d[i])
-        ms = jax.lax.fori_loop(0, L + F, body, ms)
+        ms = M.remove_observations_batch(ms, window_ids, out2d)
         return ms, n_removed
 
     def fuse_into_kf_body(ms: M.MapState, kf: jax.Array
@@ -338,17 +334,27 @@ def make_mapping_step(cfg: SlamConfig):
             timestamp)
         ms, n_culled = mfns.cull_map_points_body(ms, kf_ordinal)
 
-        # CreateNewMapPoints over the top covisible neighbours
+        # CreateNewMapPoints over the top covisible neighbours: the
+        # TRI_NB epipolar matchers + triangulations are independent given
+        # the pre-insert map, so they run as ONE vmapped batch (the
+        # reference's sequential neighbour loop, LocalMapping.cc:211, is a
+        # CPU shape); only slot allocation + observation insertion is
+        # sequential.  A candidate matched against several neighbours is
+        # inserted once — later inserts see kf_mp[kf_slot] set and their
+        # "free feature" gate fails.
         w = M.covisibility_row(ms, kf_slot)
         topw, topi = jax.lax.top_k(w, TRI_NB)
+        tris = jax.vmap(lambda nb: tri_between(ms, kf_slot, nb))(topi)
 
         def tri_iter(i, carry):
             ms_, n_ = carry
-            nb = topi[i]
-            tri = tri_between(ms_, kf_slot, nb)
+            tri = jax.tree_util.tree_map(lambda x: x[i], tris)
+            # re-check against the LIVE map: features associated by an
+            # earlier neighbour's insert must not spawn duplicates
+            free1 = ms_.kf_mp[kf_slot] < 0
             tri = tri._replace(
-                ok=tri.ok & (topw[i] >= MIN_COVIS_WEIGHT))
-            ms_, n_ins = insert_tri(ms_, kf_slot, nb, tri, kf_ordinal)
+                ok=tri.ok & free1 & (topw[i] >= MIN_COVIS_WEIGHT))
+            ms_, n_ins = insert_tri(ms_, kf_slot, topi[i], tri, kf_ordinal)
             return ms_, n_ + n_ins
 
         ms, n_tri = jax.lax.fori_loop(

@@ -59,6 +59,26 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
             db, ms, vec, kf, min_score, cfg.capacity.loop_candidates)
 
     @jax.jit
+    def detect_step(ms: M.MapState, db: db_mod.KeyFrameDB, kf: jax.Array):
+        """ONE dispatch for the per-keyframe detection prologue: BoW
+        vector + DB registration + min-neighbour-score + candidate query +
+        the candidates' covisibility rows (for the host's consistency-group
+        bookkeeping) — replaces 4-5 separate dispatches per keyframe."""
+        vec = bow.bow_vector(voc, ms.kf_desc[kf], ms.kf_kp_valid[kf])
+        db2 = db.add(kf, vec)
+        neigh = (M.covisibility_row(ms, kf) >= 15) & ms.kf_valid & db2.valid
+        scores_all = db2.bow @ vec
+        min_score = jnp.min(jnp.where(neigh, scores_all, jnp.inf))
+        cands, scores = db_mod.detect_candidates(
+            db2, ms, vec, kf, min_score, cfg.capacity.loop_candidates)
+        csafe = jnp.where(cands >= 0, cands, 0)
+        cov_rows = jax.vmap(lambda c: M.covisibility_row(ms, c))(csafe)
+        # pack (candidate id | its covisibility row) so the host needs ONE
+        # small fetch for the whole consistency-group update
+        cand_info = jnp.concatenate([cands[:, None], cov_rows], axis=1)
+        return db2, vec, cand_info
+
+    @jax.jit
     def match_for_sim3(ms: M.MapState, kf1: jax.Array, kf2: jax.Array,
                        key: jax.Array) -> sim3solver.Sim3Result:
         """SearchByFboW KF↔KF (dense) + Sim3 RANSAC (LoopClosing.cc:294-360)."""
@@ -249,7 +269,8 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
             inv_sigma2=(1.0 / sigma2)[ms.kf_level].reshape(-1),
             valid=obs_ok.reshape(-1))
         poses, points, inlier = bundle.bundle_adjust(
-            cam, prob, n_free=K, iters_a=5, iters_b=5, fix_first_free=True)
+            cam, prob, n_free=K, iters_a=5, iters_b=5, fix_first_free=True,
+            solver="cg")
         return ms._replace(
             kf_pose=jnp.where(ms.kf_valid[:, None, None], poses, ms.kf_pose),
             mp_pos=jnp.where(ms.mp_valid[:, None], points, ms.mp_pos))
@@ -298,7 +319,7 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
 
     return (kf_bow_vector, min_neighbor_score, detect, match_for_sim3,
             recount_matches, correct_loop, global_ba, frame_bow_vector,
-            reloc_attempt, fuse_after_loop, refine_sim3)
+            reloc_attempt, fuse_after_loop, refine_sim3, detect_step)
 
 
 class LoopCloser:
@@ -310,10 +331,12 @@ class LoopCloser:
         self.voc = voc
         (self.f_bow, self.f_min_score, self.f_detect, self.f_sim3,
          self.f_recount, self.f_correct, self.f_gba, self.f_frame_bow,
-         self.f_reloc, self.f_fuse_loop, self.f_refine_sim3) = \
-            make_loop_fns(cfg, voc)
+         self.f_reloc, self.f_fuse_loop, self.f_refine_sim3,
+         self.f_detect_step) = make_loop_fns(cfg, voc)
         self.db = db_mod.KeyFrameDB.empty(cfg.capacity.max_keyframes,
                                           voc.n_words)
+        from orbslam2_tpu.runtime.gba import GbaManager
+        self.gba = GbaManager(cfg)
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.prev_loops: List[Tuple[int, int]] = []
         self.last_loop_kf = -1
@@ -329,31 +352,98 @@ class LoopCloser:
         self.db = self.db.add(jnp.int32(kf), vec)
         self._last_vec = vec
 
-    def process(self, ms: M.MapState, kf: int, kf_ordinal: int
-                ) -> Tuple[M.MapState, bool]:
-        """Run detection (+ correction on success) for keyframe slot ``kf``
-        (``kf_ordinal`` = monotonic insertion counter — slot ids are reused
-        after culling, so gating uses the ordinal).
-        Returns (possibly corrected ms, loop_closed)."""
+    def prewarm(self, ms: M.MapState) -> None:
+        """Compile every loop-closing program once (serving/bench prewarm:
+        the Sim3/correction path otherwise compiles on the FIRST real loop
+        candidate, mid-sequence)."""
+        import jax as _jax
+        k0 = jnp.int32(0)
+        r = self.f_sim3(ms, k0, k0, self._split_key())
+        s, R12, t12, _ = self.f_refine_sim3(ms, k0, k0, r.s12, r.R12, r.t12)
+        self.f_recount(ms, k0, k0, s, R12, t12)
+        CAP = 8
+        z = jnp.zeros((CAP,), jnp.int32)
+        ms2 = self.f_correct(ms, k0, k0, s, R12, t12, z, z,
+                             jnp.zeros((CAP,), bool))
+        ms2, _ = self.f_fuse_loop(ms2, k0, k0)
+        _jax.block_until_ready(self.f_detect_step(ms, self.db, k0))
+        _jax.block_until_ready(ms2.kf_pose)
+
+    def on_keyframe(self, ms: M.MapState, kf: int, kf_ordinal: int
+                    ) -> Tuple[M.MapState, bool]:
+        """DB registration + loop detection (+ correction on success) for
+        keyframe slot ``kf`` — the whole LoopClosing::Run iteration.  The
+        detection prologue is ONE fused dispatch + ONE small fetch
+        (f_detect_step); db add is idempotent so calling after
+        add_keyframe is safe."""
+        db2, vec, cand_info = self.f_detect_step(ms, self.db, jnp.int32(kf))
+        self.db = db2
+        self._last_vec = vec
         lcfg = self.cfg.loop
         if kf_ordinal < lcfg.minimum_keyframes or \
                 kf_ordinal - self.last_loop_kf < lcfg.minimum_keyframes:
             return ms, False
-        vec = self._last_vec
-        min_score = self.f_min_score(ms, self.db, jnp.int32(kf), vec)
-        cands, scores = self.f_detect(ms, self.db, jnp.int32(kf), vec,
-                                      min_score)
-        cands = [int(c) for c in np.asarray(cands) if c >= 0]
+        info = np.asarray(cand_info)            # the ONE fetch
+        cands = [int(c) for c in info[:, 0] if c >= 0]
         if not cands:
             self.consistent_groups = []
             return ms, False
+        rows = {int(info[i, 0]): info[i, 1:] for i in range(len(info))
+                if info[i, 0] >= 0}
+        return self._evaluate_candidates(ms, kf, kf_ordinal, cands, rows)
 
-        # covisibility-consistency accumulation (host sets; one [K] row
-        # fetch per candidate — never the full [K, K] matrix)
+    def process(self, ms: M.MapState, kf: int, kf_ordinal: int
+                ) -> Tuple[M.MapState, bool]:
+        """Back-compat wrapper: detection for an already-registered
+        keyframe (add is idempotent)."""
+        return self.on_keyframe(ms, kf, kf_ordinal)
+
+    # ------------------------------------------- deferred (pipelined) API
+    def on_keyframe_deferred(self, ms: M.MapState, kf: int,
+                             kf_ordinal: int) -> None:
+        """Dispatch the detection prologue without fetching — the windowed
+        engine retires it at the next window via :meth:`poll_deferred`
+        (the reference's LoopClosing thread also trails Tracking by its
+        queue, LoopClosing.cc:126)."""
+        db2, vec, cand_info = self.f_detect_step(ms, self.db, jnp.int32(kf))
+        self.db = db2
+        self._last_vec = vec
+        try:
+            cand_info.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._deferred = (kf, kf_ordinal, cand_info)
+
+    def poll_deferred(self, ms: M.MapState) -> Tuple[M.MapState, bool]:
+        """Evaluate a pending detection against the CURRENT map."""
+        pend = getattr(self, "_deferred", None)
+        if pend is None:
+            return ms, False
+        self._deferred = None
+        kf, kf_ordinal, cand_info = pend
+        lcfg = self.cfg.loop
+        if kf_ordinal < lcfg.minimum_keyframes or \
+                kf_ordinal - self.last_loop_kf < lcfg.minimum_keyframes:
+            return ms, False
+        info = np.asarray(cand_info)
+        cands = [int(c) for c in info[:, 0] if c >= 0]
+        if not cands:
+            self.consistent_groups = []
+            return ms, False
+        rows = {int(info[i, 0]): info[i, 1:] for i in range(len(info))
+                if info[i, 0] >= 0}
+        return self._evaluate_candidates(ms, kf, kf_ordinal, cands, rows)
+
+    def _evaluate_candidates(self, ms, kf: int, kf_ordinal: int,
+                             cands: List[int], rows) -> Tuple[M.MapState,
+                                                              bool]:
+        lcfg = self.cfg.loop
+        # covisibility-consistency accumulation over host sets
+        # (LoopClosing.cc:188-248)
         enough: List[int] = []
         new_groups: List[Tuple[Set[int], int]] = []
         for c in cands:
-            w_row = np.asarray(self._f_covis_row(ms, jnp.int32(c)))
+            w_row = rows[c]
             group = set(np.where(w_row >= 15)[0].tolist()) | {c}
             best_consistency = 0
             for prev_set, count in self.consistent_groups:
@@ -395,10 +485,15 @@ class LoopCloser:
                                jnp.int32)
             pl_ok = jnp.asarray([True] * len(loops)
                                 + [False] * (CAP - len(loops)))
+            # a new loop supersedes a running GBA (mbStopGBA,
+            # LoopClosing.cc:446-459)
+            self.gba.abort()
             ms = self.f_correct(ms, jnp.int32(kf), jnp.int32(cand),
                                 res.s12, res.R12, res.t12, pl_i, pl_j, pl_ok)
             ms, _ = self.f_fuse_loop(ms, jnp.int32(kf), jnp.int32(cand))
-            ms = self.f_gba(ms)
+            # GBA runs in its own preemptible thread on the corrected
+            # snapshot; results merge at a later poll (LoopClosing.cc:613)
+            self.gba.launch(ms)
             self.prev_loops.append((kf, cand))
             self.last_loop_kf = kf_ordinal
             self.consistent_groups = []

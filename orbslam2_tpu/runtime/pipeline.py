@@ -65,11 +65,14 @@ class AsyncSlamEngine(SlamEngine):
         self._worker.start()
 
     def shutdown(self, timeout: float = 120.0):
-        """RequestFinish + join (LocalMapping.cc:731-755 protocol)."""
+        """RequestFinish + join (LocalMapping.cc:731-755 protocol); also
+        drains a background global BA (System::Shutdown spin-waits
+        !isRunningGBA, System.cc:435-439)."""
         self._running = False
         self.kf_queue.close()
         if self._worker is not None:
             self._worker.join(timeout=timeout)
+        self.finish_gba()
 
     # -------------------------------------------------- tracking overrides
     def _absorb_track(self, ms2, res) -> None:
@@ -144,9 +147,9 @@ class AsyncSlamEngine(SlamEngine):
                     frame_id, ts, ba_ok=ba_ok, counters=counters)
 
                 if self.loop_closer is not None:
-                    self.loop_closer.add_keyframe(ms, kf_slot)
-                    ms, closed = self.loop_closer.process(
+                    ms, closed = self.loop_closer.on_keyframe(
                         ms, kf_slot, self.kf_ordinal)
+                    ms, _ = self.loop_closer.gba.poll_and_merge(ms)
                     if closed:
                         self.stats["loops_closed"] += 1
 

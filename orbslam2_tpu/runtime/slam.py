@@ -84,7 +84,9 @@ class SlamEngine:
         if enable_loop_closing:
             from orbslam2_tpu.models.vocabulary import default_vocabulary
             from orbslam2_tpu.runtime.loop_closing import LoopCloser
-            voc = vocabulary if vocabulary is not None else default_vocabulary()
+            voc = vocabulary if vocabulary is not None else \
+                default_vocabulary(k=cfg.capacity.vocab_k,
+                                   levels=cfg.capacity.vocab_levels)
             self.loop_closer = LoopCloser(cfg, voc)
 
         self.ms = M.empty_map(cfg)
@@ -534,11 +536,14 @@ class SlamEngine:
 
         # ---- loop closing (LoopClosing::Run per keyframe) ----
         if self.loop_closer is not None:
-            self.loop_closer.add_keyframe(self.ms, kf_slot)
-            self.ms, closed = self.loop_closer.process(
+            self.ms, closed = self.loop_closer.on_keyframe(
                 self.ms, kf_slot, self.kf_ordinal)
-            if closed:
-                self.stats["loops_closed"] += 1
+            # a background GBA may have finished since the last keyframe —
+            # propagate its corrections now (map-owner context,
+            # LoopClosing.cc:715-775)
+            self.ms, merged = self.loop_closer.gba.poll_and_merge(self.ms)
+            if closed or merged:
+                self.stats["loops_closed"] += int(closed)
                 # poses moved wholesale — rebase the motion model
                 self.velocity = None
                 self.last_Tcw = np.asarray(self.ms.kf_pose[kf_slot])
@@ -573,6 +578,17 @@ class SlamEngine:
         Tcr = Tcw @ np.linalg.inv(Tref)
         self._append_traj(TrajectoryEntry(
             timestamp, Tcr.astype(np.float32), self.ref_kf, False))
+
+    def finish_gba(self) -> bool:
+        """Wait for a background global BA and merge its result (the
+        replayer/shutdown handshake, System.cc:169-183, 435-439)."""
+        if self.loop_closer is None:
+            return False
+        self.loop_closer.gba.wait()
+        self.ms, merged = self.loop_closer.gba.poll_and_merge(self.ms)
+        if merged:
+            self.velocity = None
+        return merged
 
     # ------------------------------------------------------------- outputs
     def frame_poses(self) -> List[Optional[np.ndarray]]:

@@ -62,16 +62,26 @@ class System:
         self._shutdown = False
 
     # ------------------------------------------------------ frame entries --
+    def _replayer_sync(self):
+        """Replayer handshake (System.cc:169-183): in replayer mode a frame
+        is not processed while a global BA is still running — the replay
+        clock waits for the heavy correction instead of racing it."""
+        if self.replayer and self.engine.loop_closer is not None \
+                and self.engine.loop_closer.gba.running:
+            self.engine.finish_gba()
+
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> Optional[np.ndarray]:
         """System::TrackStereo (System.cc:127)."""
         assert self.sensor == STEREO
+        self._replayer_sync()
         return self.engine.track_stereo(left, right, timestamp)
 
     def track_rgbd(self, im: np.ndarray, depth: np.ndarray,
                    timestamp: float) -> Optional[np.ndarray]:
         """System::TrackRGBD (System.cc:194)."""
         assert self.sensor == RGBD
+        self._replayer_sync()
         return self.engine.track_rgbd(im, depth, timestamp)
 
     def track_ird(self, ir: np.ndarray, depth: np.ndarray,
@@ -88,6 +98,7 @@ class System:
                         ) -> Optional[np.ndarray]:
         """System::TrackMonocular (System.cc:325)."""
         assert self.sensor == MONOCULAR
+        self._replayer_sync()
         return self.engine.track_monocular(im, timestamp)
 
     # ------------------------------------------------------------- modes --
@@ -107,7 +118,12 @@ class System:
             vocabulary=None if lc is None else lc.voc)
 
     def shutdown(self):
-        """System::Shutdown (System.cc:415)."""
+        """System::Shutdown (System.cc:415): drain threads + a running GBA
+        (spin-wait !isRunningGBA, :435-439), then optionally save the map."""
+        if hasattr(self.engine, "shutdown"):
+            self.engine.shutdown()          # async pipeline drains itself
+        else:
+            self.engine.finish_gba()
         if self.save_map_on_shutdown and self.map_file:
             self.save_map(self.map_file)
         self._shutdown = True

@@ -1,0 +1,361 @@
+"""Windowed SLAM-mode engine: W tracked frames per device program.
+
+Measured on the bench chip, every device *execution* through the runtime
+costs ~25-35 ms of launch/transfer latency regardless of its compute
+(runtime/streaming.py header) — the reason LOC-mode streaming windows hit
+70+ fps while the one-dispatch-per-frame SLAM loop floored near 10.  This
+module brings the same amortization to full SLAM mode:
+
+  * a ``lax.scan`` tracks W frames in one program — frontend, constant-
+    velocity prediction, two-stage matching + pose optimization, the ×2
+    widen retry AND the TrackReferenceKeyFrame fallback all in-device
+    (Tracking.cc:967,1030,855 — the fallback was the last host round
+    trip in the per-frame loop);
+  * per-frame summaries, FrameData, associations, and poses come back
+    stacked, so the host replays the keyframe decision (NeedNewKeyFrame,
+    Tracking.cc:1076) per frame from ONE [W, 40] fetch;
+  * when frame j of the window needs a keyframe, the fused mapping step
+    runs on frame j's stacked row (indexing happens in-device).  Frames
+    j+1..W−1 of the same window tracked against the pre-insert map — the
+    same ≤W-frame staleness the reference exhibits whenever LocalMapping
+    is busy (its tracking thread also proceeds while the keyframe waits
+    in the queue, LocalMapping.cc:114).
+
+Tracking-state edge cases (initialization, LOST→relocalization,
+localization mode) fall back to the per-frame engine paths — they are
+rare, and correctness there matters more than latency.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.config import MONOCULAR, RGBD, STEREO, SlamConfig
+from orbslam2_tpu.models import frame as frame_mod
+from orbslam2_tpu.models import map_state as M
+from orbslam2_tpu.runtime import local_mapping, tracking
+from orbslam2_tpu.runtime.slam import SlamEngine, TrajectoryEntry
+
+
+class SlamWindowOut(NamedTuple):
+    summaries: jax.Array    # [W, 40]
+    fds: frame_mod.FrameData  # stacked [W, ...]
+    assocs: jax.Array       # [W, N]
+    inliers: jax.Array      # [W, N]
+    Tcws: jax.Array         # [W, 4, 4]
+    state_T: jax.Array      # [2, 4, 4] (last, previous)
+    last_assoc: jax.Array   # [N]
+    last_inlier: jax.Array  # [N]
+    counters: jax.Array     # [2, P]
+
+
+def make_slam_window_tracker(cfg: SlamConfig, window: int):
+    fns = tracking.make_tracking_fns(cfg)
+    H, W_img = cfg.camera.height, cfg.camera.width
+    B = window
+    th_local = float(cfg.tracking.local_map_tracking_threshold)
+    min_ref = float(cfg.tracking.min_matches_ref_keyframe)
+
+    if cfg.sensor == STEREO:
+        frontend = frame_mod.make_frontend_stereo(cfg)
+
+        def decode(payload, i):
+            imgs = payload.reshape(B, 2, H, W_img).astype(jnp.float32)
+            return frontend(imgs[i, 0], imgs[i, 1])
+    elif cfg.sensor == RGBD:
+        frontend = frame_mod.make_frontend_rgbd(cfg)
+
+        def decode(payload, i):
+            gray_u8, depth = payload
+            g = gray_u8.reshape(B, H, W_img).astype(jnp.float32)
+            d = depth.reshape(B, H, W_img)
+            return frontend(g[i], d[i])
+    else:
+        raise ValueError("windowed SLAM supports stereo/RGBD sensors")
+
+    @jax.jit
+    def track_window(ms: M.MapState, payload, state_T: jax.Array,
+                     assoc0: jax.Array, inlier0: jax.Array,
+                     ref_kf: jax.Array) -> SlamWindowOut:
+        P = ms.P
+
+        def step(carry, i):
+            T_prev, T_prev2, assoc, ok, vis, fnd = carry
+            fd = decode(payload, i)
+            vel = T_prev @ jnp.linalg.inv(T_prev2)
+            pred = vel @ T_prev
+            res = fns.track_body(ms, fd, pred, assoc, ok, ref_kf,
+                                 widen_in_device=True)
+
+            # TrackReferenceKeyFrame fallback in-device (Tracking.cc:419):
+            # when local-map inliers collapse, re-track from a brute-force
+            # match against the reference keyframe
+            def fallback(_):
+                ref = fns.track_ref_kf(ms, fd, ref_kf, T_prev)
+                res2 = fns.track_body(ms, fd, ref.Tcw, ref.assoc,
+                                      ref.inlier, ref_kf,
+                                      widen_in_device=True)
+                use = ((ref.summary[32] >= min_ref)
+                       & (res2.summary[34] > res.summary[34]))
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(use, a, b), res2, res)
+
+            res = jax.lax.cond(res.summary[34] < th_local, fallback,
+                               lambda _: res, None)
+            vis = vis + res.visible_mask.astype(jnp.int32)
+            fnd = fnd + res.found_mask.astype(jnp.int32)
+            carry = (res.Tcw, T_prev, res.assoc, res.inlier, vis, fnd)
+            ys = (res.summary, fd, res.assoc, res.inlier, res.Tcw)
+            return carry, ys
+
+        zeros = jnp.zeros((P,), jnp.int32)
+        carry0 = (state_T[0], state_T[1], assoc0, inlier0, zeros, zeros)
+        (Tl, Tp, assoc, inl, vis, fnd), ys = jax.lax.scan(
+            step, carry0, jnp.arange(B))
+        summaries, fds, assocs, inliers, Tcws = ys
+        return SlamWindowOut(
+            summaries=summaries, fds=fds, assocs=assocs, inliers=inliers,
+            Tcws=Tcws, state_T=jnp.stack([Tl, Tp]), last_assoc=assoc,
+            last_inlier=inl, counters=jnp.stack([vis, fnd]))
+
+    return track_window
+
+
+def make_window_mapping_step(cfg: SlamConfig):
+    """The fused per-keyframe mapping step, fed by stacked window rows —
+    frame selection (index j) happens in-device, so keyframe creation
+    stays one dispatch."""
+    mstep = local_mapping.make_mapping_step(cfg)
+
+    @jax.jit
+    def window_kf_step(ms, fds, assocs, Tcws, j, kf_slot, kf_ordinal,
+                       parent, frame_id, timestamp, do_ba, do_cull,
+                       vis, fnd):
+        fd = jax.tree_util.tree_map(lambda x: x[j], fds)
+        return mstep(ms, fd, Tcws[j], assocs[j], kf_slot, kf_ordinal,
+                     parent, frame_id, timestamp, do_ba, do_cull, vis, fnd)
+
+    return window_kf_step
+
+
+class WindowedSlamEngine(SlamEngine):
+    """SLAM engine tracking in windows of ``window`` frames.
+
+    ``track_stereo``/``track_rgbd`` buffer frames and return the most
+    recently *retired* pose (≤ window−1 frames behind; None until the
+    first window retires).  Call :meth:`flush` before reading
+    trajectories (``frame_poses`` does it automatically).
+    """
+
+    def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True,
+                 vocabulary=None, window: int = 4):
+        super().__init__(cfg, enable_loop_closing=enable_loop_closing,
+                         vocabulary=vocabulary)
+        assert cfg.sensor != MONOCULAR, \
+            "windowed engine: stereo/RGBD only (mono init is host-driven)"
+        self.window = window
+        self.f_track_window = make_slam_window_tracker(cfg, window)
+        self.f_window_kf = make_window_mapping_step(cfg)
+        self._buf: List[Tuple] = []          # (payload parts, timestamp)
+        self._last_retired: Optional[np.ndarray] = None
+
+    # --------------------------------------------------------- frame entry
+    def track_stereo(self, left, right, timestamp: float):
+        if self.state != tracking.OK:
+            return super().track_stereo(left, right, timestamp)
+        pay = np.concatenate([
+            np.ascontiguousarray(left, dtype=np.uint8).reshape(-1),
+            np.ascontiguousarray(right, dtype=np.uint8).reshape(-1)])
+        return self._push(pay, timestamp)
+
+    def track_rgbd(self, gray, depth, timestamp: float):
+        if self.state != tracking.OK:
+            return super().track_rgbd(gray, depth, timestamp)
+        pay = (np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1),
+               np.ascontiguousarray(depth, dtype=np.float32).reshape(-1))
+        return self._push(pay, timestamp)
+
+    def _push(self, pay, timestamp: float):
+        self._buf.append((pay, timestamp))
+        if len(self._buf) >= self.window:
+            buf, self._buf = self._buf, []
+            # software pipeline: dispatch window k+1 from window k's
+            # DEVICE outputs (state_T/assoc need no host fetch), THEN
+            # retire window k (summary fetch + keyframe work) while the
+            # new window computes.  Tracking therefore runs against a map
+            # ≤1 window stale — the same contract as the reference's
+            # tracking thread racing its busy LocalMapping queue.
+            disp = self._dispatch_window(buf)
+            self._retire_pending()
+            if self.state == tracking.OK:
+                self._pending = disp
+            else:
+                # the retired window lost tracking — the in-flight window
+                # was predicted from a junk pose; reprocess its frames
+                # through the per-frame LOST/relocalization path
+                for pay2, ts2 in disp["buf"]:
+                    self._last_retired = SlamEngine._track_common(
+                        self, pay2, ts2)
+        return self._last_retired
+
+    def flush(self):
+        """Retire the in-flight window and drain the partial buffer +
+        deferred keyframe/loop work."""
+        self._retire_pending()
+        self._retire_kf_stats()
+        if self.loop_closer is not None:
+            self.ms, closed = self.loop_closer.poll_deferred(self.ms)
+            if closed:
+                self.stats["loops_closed"] += 1
+                self.velocity = None
+        buf, self._buf = self._buf, []
+        for pay, ts in buf:
+            self._last_retired = super()._track_common(pay, ts)
+
+    def finish_gba(self) -> bool:
+        self.flush()
+        return super().finish_gba()
+
+    def frame_poses(self):
+        self.flush()
+        return super().frame_poses()
+
+    # ------------------------------------------------------------- window
+    def _window_payload(self, buf):
+        if self.cfg.sensor == STEREO:
+            return np.concatenate([p for p, _ in buf])
+        grays = np.concatenate([p[0] for p, _ in buf])
+        depths = np.concatenate([p[1] for p, _ in buf])
+        return (grays, depths)
+
+    def _dispatch_window(self, buf):
+        """Issue the window program from device-resident state; no fetch."""
+        pend = getattr(self, "_pending", None)
+        if pend is not None:
+            state_T, assoc0, inl0 = (pend["out"].state_T,
+                                     pend["out"].last_assoc,
+                                     pend["out"].last_inlier)
+        else:
+            prev2 = getattr(self, "_prev2_Tcw", None)
+            if self.velocity is not None and prev2 is not None:
+                sT = np.stack([self.last_Tcw, prev2]).astype(np.float32)
+            else:
+                sT = np.stack([self.last_Tcw,
+                               self.last_Tcw]).astype(np.float32)
+            state_T, assoc0, inl0 = (jnp.asarray(sT), self.last_assoc,
+                                     self.last_inlier)
+        out = self.f_track_window(
+            self.ms, self._window_payload(buf), state_T, assoc0, inl0,
+            jnp.int32(self.ref_kf))
+        return {"out": out, "buf": buf, "ref": self.ref_kf}
+
+    def _retire_kf_stats(self):
+        stats_dev = getattr(self, "_deferred_stats", None)
+        if stats_dev is None:
+            return
+        self._deferred_stats = None
+        stats = np.asarray(stats_dev)
+        self.stats["mp_created"] += int(stats[0]) + int(stats[2])
+        self.stats["mp_culled"] += int(stats[1])
+        self.stats["mp_fused"] += int(stats[3])
+        self.stats["ba_outliers"] += int(stats[4])
+        self.stats["kf_culled"] += int(stats[5])
+        self.n_live_points = int(stats[6])
+        victims = [int(v) for v in stats[7:] if v >= 0]
+        if victims:
+            self._on_kfs_culled(self.ms, victims)
+
+    def _retire_pending(self):
+        pend = getattr(self, "_pending", None)
+        if pend is None:
+            self._retire_kf_stats()
+            return
+        self._pending = None
+        out, buf, ref_at_track = pend["out"], pend["buf"], pend["ref"]
+        t = self.cfg.tracking
+        sms = np.asarray(out.summaries)          # the ONE per-window fetch
+        self._retire_kf_stats()                  # previous window's mapping
+        if self.loop_closer is not None:
+            self.ms, closed = self.loop_closer.poll_deferred(self.ms)
+            self.ms, merged = self.loop_closer.gba.poll_and_merge(self.ms)
+            if closed or merged:
+                self.stats["loops_closed"] += int(closed)
+                # poses moved wholesale — restart the motion model and the
+                # in-flight window is now stale; it will re-anchor at its
+                # own retire through the BA-corrected reference keyframes
+                self.velocity = None
+                self.last_Tcw = np.asarray(self.ms.kf_pose[self.ref_kf])
+
+        kf_done = False
+        for j, (pay, ts) in enumerate(buf):
+            sm = tracking.Summary(sms[j])
+            lost = sm.n_inliers_map < t.local_map_tracking_threshold
+            if lost:
+                # frames after j tracked from a junk pose — reprocess them
+                # (and frame j) through the per-frame LOST/reloc path
+                self.state = tracking.LOST
+                self.velocity = None
+                for pay2, ts2 in buf[j:]:
+                    self._last_retired = super()._track_common(pay2, ts2)
+                return
+            self._append_traj(TrajectoryEntry(
+                ts, sm.Tcr, ref_at_track, False))
+            if self.last_Tcw is not None:
+                self.velocity = sm.Tcw @ np.linalg.inv(self.last_Tcw)
+            self._prev2_Tcw = self.last_Tcw
+            self.last_Tcw = sm.Tcw
+
+            # keyframe decision BEFORE the id advances (base-path order)
+            if (not kf_done and not self.localization_only
+                    and self._need_new_keyframe(sm)):
+                self._create_window_keyframe(out, j, ts)
+                kf_done = True
+            self.frame_id += 1
+        self.state = tracking.OK
+        self.last_assoc = out.last_assoc
+        self.last_inlier = out.last_inlier
+        self._pending_counters = out.counters
+        self._last_retired = self.last_Tcw
+
+    def _counter_args(self):
+        c = getattr(self, "_pending_counters", None)
+        if c is None:
+            return self._zeros_p, self._zeros_p
+        self._pending_counters = None
+        return c[0], c[1]
+
+    def _create_window_keyframe(self, out: SlamWindowOut, j: int,
+                                timestamp: float) -> None:
+        kf_slot = self._take_kf_slot()
+        vis, fnd = self._counter_args()
+        do_ba = bool(self.kf_ordinal >= 3)
+        do_cull = bool(self.kf_ordinal >= 5)
+        ms, stats_dev = self.f_window_kf(
+            self.ms, out.fds, out.assocs, out.Tcws, jnp.int32(j),
+            jnp.int32(kf_slot), jnp.int32(self.kf_ordinal),
+            jnp.int32(self.ref_kf), jnp.int32(self.frame_id),
+            jnp.float32(timestamp), jnp.bool_(do_ba), jnp.bool_(do_cull),
+            vis, fnd)
+        # stats stay on device — fetching now would block until the
+        # mapping program drains; start an async copy and retire the
+        # bookkeeping next window
+        try:
+            stats_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._deferred_stats = stats_dev
+        self.ms = ms
+        self.kf_ordinal += 1
+        self.n_kfs += 1
+        self.stats["kf_inserted"] += 1
+        self.ref_kf = kf_slot
+        self.last_kf_frame_id = self.frame_id
+
+        if self.loop_closer is not None:
+            # dispatch-only; candidates are evaluated at the next retire
+            self.loop_closer.on_keyframe_deferred(
+                self.ms, kf_slot, self.kf_ordinal)

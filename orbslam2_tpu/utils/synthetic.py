@@ -131,6 +131,8 @@ class Plane:
     ev: np.ndarray        # [3] texture v basis (unit)
     tex: np.ndarray       # [Th, Tw] float32 intensity
     scale: float          # texture pixels per world unit
+    u_range: Optional[Tuple[float, float]] = None  # finite quad bounds
+    v_range: Optional[Tuple[float, float]] = None
 
 
 @dataclass
@@ -157,9 +159,11 @@ def _make_texture(rng: np.random.Generator, size: int = 512,
 
 def make_world(rng: np.random.Generator, kind: str = "corridor",
                tex_size: int = 512) -> World:
-    """A corridor of textured planes: ground, two walls, far wall, plus a
-    couple of floating facade quads — depth range ~3–45 m."""
-    def plane(p0, n, eu, scale=20.0):
+    """Textured-plane worlds.  "corridor": ground/walls/ceiling/far wall,
+    depth range ~3–60 m.  "random": randomized room dimensions plus a few
+    finite facade quads at varied depth/orientation — used to harvest a
+    diverse vocabulary corpus."""
+    def plane(p0, n, eu, scale=20.0, u_range=None, v_range=None):
         n = np.asarray(n, np.float64)
         n = n / np.linalg.norm(n)
         eu = np.asarray(eu, np.float64)
@@ -167,7 +171,37 @@ def make_world(rng: np.random.Generator, kind: str = "corridor",
         eu /= np.linalg.norm(eu)
         ev = np.cross(n, eu)
         return Plane(p0=np.asarray(p0, np.float64), n=n, eu=eu, ev=ev,
-                     tex=_make_texture(rng, tex_size), scale=scale)
+                     tex=_make_texture(rng, tex_size), scale=scale,
+                     u_range=u_range, v_range=v_range)
+
+    if kind == "random":
+        gy = rng.uniform(2.0, 5.0)          # ground height
+        wx = rng.uniform(4.0, 10.0)         # half width
+        fz = rng.uniform(30.0, 70.0)        # far wall
+        planes = [
+            plane([0.0, gy, 0.0], [0.0, -1.0, 0.0], [1.0, 0.0, 0.0],
+                  scale=rng.uniform(10, 30)),
+            plane([-wx, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0],
+                  scale=rng.uniform(10, 30)),
+            plane([wx, 0.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0],
+                  scale=rng.uniform(10, 30)),
+            plane([0.0, 0.0, fz], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0],
+                  scale=rng.uniform(10, 30)),
+        ]
+        for _ in range(rng.integers(1, 4)):
+            # finite facade quad facing the camera at a random depth
+            cx = rng.uniform(-0.6 * wx, 0.6 * wx)
+            cy = rng.uniform(-1.5, 1.5)
+            cz = rng.uniform(6.0, 0.7 * fz)
+            half = rng.uniform(0.8, 2.5)
+            yaw = rng.uniform(-0.5, 0.5)
+            n = [np.sin(yaw), 0.0, -np.cos(yaw)]
+            planes.append(plane([cx, cy, cz], n, [np.cos(yaw), 0.0,
+                                                  np.sin(yaw)],
+                                scale=rng.uniform(15, 40),
+                                u_range=(-half, half),
+                                v_range=(-half, half)))
+        return World(planes=planes)
 
     planes = [
         plane([0.0, 3.5, 0.0], [0.0, -1.0, 0.0], [1.0, 0.0, 0.0]),   # ground
@@ -206,8 +240,16 @@ def render_world(world: World, cam: CameraConfig, Tcw: np.ndarray,
         t = np.where(hit, t, 0.0)       # keep inf out of the arithmetic
         X = C[None, None, :] + t[..., None] * d_w
         rel = X - pl.p0[None, None, :]
-        tu = (rel @ pl.eu) * pl.scale
-        tv = (rel @ pl.ev) * pl.scale
+        wu = rel @ pl.eu                # world-unit plane coordinates
+        wv = rel @ pl.ev
+        if pl.u_range is not None:
+            hit = hit & (wu >= pl.u_range[0]) & (wu <= pl.u_range[1])
+        if pl.v_range is not None:
+            hit = hit & (wv >= pl.v_range[0]) & (wv <= pl.v_range[1])
+        if not hit.any():
+            continue
+        tu = wu * pl.scale
+        tv = wv * pl.scale
         Th, Tw = pl.tex.shape
         x0 = np.floor(tu).astype(np.int64)
         y0 = np.floor(tv).astype(np.int64)

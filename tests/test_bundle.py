@@ -126,3 +126,31 @@ def test_fixed_cameras_unchanged(rng):
     poses, _, _ = bundle.bundle_adjust(cam, prob, n_free=6)
     np.testing.assert_allclose(np.asarray(poses)[6:],
                                np.asarray(prob.poses)[6:], atol=1e-7)
+
+
+def test_cg_solver_matches_dense(rng):
+    """The matrix-free CG path (global-BA solver) must land on the same
+    optimum as the dense Schur + Cholesky path."""
+    cam, prob, poses_true, pts_true, _ = _make_ba_problem(rng)
+    poses_d, points_d, inl_d = bundle.bundle_adjust(
+        cam, prob, n_free=6, solver="dense")
+    poses_c, points_c, inl_c = bundle.bundle_adjust(
+        cam, prob, n_free=6, solver="cg", cg_iters=48)
+    et_d, er_d = _pose_errors(np.asarray(poses_d), poses_true, 6)
+    et_c, er_c = _pose_errors(np.asarray(poses_c), poses_true, 6)
+    # both converge to ground truth...
+    assert et_c.max() < 0.02 and er_c.max() < 0.1
+    # ...and to (nearly) each other
+    assert abs(et_c.max() - et_d.max()) < 5e-3
+    np.testing.assert_allclose(np.asarray(points_c), np.asarray(points_d),
+                               atol=0.02)
+
+
+def test_cg_solver_gauge_fixed(rng):
+    cam, prob, poses_true, pts_true, _ = _make_ba_problem(
+        rng, n_free=8, n_fixed=0)
+    poses, points, _ = bundle.bundle_adjust(
+        cam, prob, n_free=8, solver="cg", fix_first_free=True)
+    np.testing.assert_allclose(np.asarray(poses)[0], poses_true[0], atol=1e-6)
+    et, er = _pose_errors(np.asarray(poses), poses_true, 8)
+    assert et.max() < 0.03

@@ -49,3 +49,58 @@ def test_sharded_layout(rng):
     assert not sp.uv.sharding.is_fully_replicated
     assert sp.poses.sharding.is_fully_replicated
     assert sp.uv.shape[0] % 8 == 0
+
+
+def test_distributed_cg_matches_single_device(rng):
+    """The matrix-free CG path under GSPMD (global-BA-at-scale layout)."""
+    cam, prob, poses_true, pts_true, _ = _make_ba_problem(rng)
+    mesh = mesh_mod.make_mesh()
+    poses_d, points_d, _ = dist_ba.distributed_bundle_adjust(
+        mesh, cam, prob, n_free=6, solver="cg")
+    poses_s, points_s, _ = bundle.bundle_adjust(
+        cam, prob, n_free=6, solver="cg")
+    np.testing.assert_allclose(np.asarray(poses_d), np.asarray(poses_s),
+                               atol=5e-4)
+    et_d, _ = _pose_errors(np.asarray(poses_d), poses_true, 6)
+    assert et_d.max() < 0.02
+
+
+def test_sharded_db_scoring_matches_single_device(rng):
+    """Loop-candidate scoring with the [K, W] BoW matrix sharded over the
+    mesh returns the same candidates as the replicated query."""
+    import jax.numpy as jnp
+    from orbslam2_tpu.config import (CameraConfig, CapacityConfig,
+                                     OrbConfig, STEREO, SlamConfig)
+    from orbslam2_tpu.models import keyframe_db as db_mod
+    from orbslam2_tpu.models import map_state as M
+    from orbslam2_tpu.parallel import db_shard
+
+    K, W = 16, 1024
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                            bf=150.0, width=640, height=480),
+        orb=OrbConfig(n_features=64),
+        capacity=CapacityConfig(max_keyframes=K, max_map_points=256),
+        sensor=STEREO)
+    ms = M.empty_map(cfg)
+    ms = ms._replace(kf_valid=jnp.asarray(rng.random(K) < 0.9))
+    db = db_mod.KeyFrameDB.empty(K, W)
+    for k in range(K):
+        v = rng.random(W).astype(np.float32)
+        v /= np.linalg.norm(v)
+        db = db.add(jnp.int32(k), jnp.asarray(v))
+    q = rng.random(W).astype(np.float32)
+    q /= np.linalg.norm(q)
+    q = jnp.asarray(q)
+
+    cands_s, scores_s = db_mod.detect_candidates(
+        db, ms, q, jnp.int32(-1), jnp.float32(0.0), 8)
+
+    mesh = mesh_mod.make_mesh()
+    db_sh = db_shard.shard_db(mesh, db)
+    assert not db_sh.bow.sharding.is_fully_replicated
+    cands_d, scores_d = db_shard.detect_candidates_sharded(
+        mesh, db_sh, ms, q, jnp.int32(-1), jnp.float32(0.0), 8)
+    np.testing.assert_array_equal(np.asarray(cands_s), np.asarray(cands_d))
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_d),
+                               rtol=1e-5)

@@ -90,6 +90,7 @@ def test_loop_closing_orbit(rng):
     assert tracked > n_frames * 0.85, (tracked, eng.stats)
     # the orbit returns to its start: the loop must be detected and closed
     assert eng.stats["loops_closed"] >= 1, eng.stats
+    eng.finish_gba()   # drain the background global BA before judging ATE
 
     poses_est = eng.frame_poses()
     errs = []

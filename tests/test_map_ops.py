@@ -93,3 +93,41 @@ def test_alloc_mp_slots_full_map(rng):
     ok = jnp.ones((ms.N,), bool)
     _, ok2 = M.alloc_mp_slots(ms, ok)
     assert int(np.asarray(ok2).sum()) == 0
+
+
+def test_distinctive_descriptor_min_median():
+    """MapPoint::ComputeDistinctiveDescriptors (MapPoint.cc:242): the
+    representative is the stored descriptor with minimum median Hamming
+    distance to the others — two similar observations beat one outlier."""
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                            bf=150.0, width=640, height=480),
+        orb=OrbConfig(n_features=8),
+        capacity=CapacityConfig(max_keyframes=4, max_map_points=32),
+        sensor=STEREO)
+    ms = M.empty_map(cfg)
+    Np = ms.N
+
+    def desc_row(words):
+        d = np.zeros((Np, 8), np.uint32)
+        d[0] = words
+        return jnp.asarray(d)
+
+    a1 = [0xFFFF0000] * 8
+    a2 = [0xFFFF0001] * 8            # 8 bits from a1
+    b = [0x0000FFFF] * 8             # ~256 bits from a1
+    # one map point observed by three keyframes
+    ms = ms._replace(mp_valid=ms.mp_valid.at[5].set(True),
+                     mp_pos=ms.mp_pos.at[5].set(jnp.asarray([0., 0., 5.])))
+    feat = jnp.arange(Np, dtype=jnp.int32)
+    mp = jnp.full((Np,), -1, jnp.int32).at[0].set(5)
+    ok = jnp.zeros((Np,), bool).at[0].set(True)
+    for k, words in enumerate((a1, b, a2)):
+        ms = ms._replace(kf_desc=ms.kf_desc.at[k].set(desc_row(words)),
+                         kf_valid=ms.kf_valid.at[k].set(True))
+        ms = M.add_observations(ms, jnp.int32(k), feat, mp, ok, 1.2, 8)
+
+    rep = np.asarray(ms.mp_desc[5])
+    assert (rep == np.asarray(a1, np.uint32)).all() or \
+           (rep == np.asarray(a2, np.uint32)).all(), rep
+    assert int(ms.mp_desc_n[5]) == 3
