@@ -92,7 +92,9 @@ def main():
     # ---- SLAM mode: windowed engine, steady state after warm-up ----
     eng = WindowedSlamEngine(cfg, enable_loop_closing=True,
                              window=SLAM_WINDOW)
-    eng.loop_closer.prewarm(eng.ms)      # compile the Sim3/loop path once
+    eng.prewarm()    # compile EVERY program variant incl. the per-frame
+    #                  fallback + reloc paths (a LOST window otherwise
+    #                  compiles them mid-measurement, r4 probe: 31s/33s)
     for i in range(WARMUP_FRAMES):                 # compiles + map bootstrap
         eng.track_stereo(*frames[i], timestamp=0.1 * i)
     kf_before = eng.stats["kf_inserted"]

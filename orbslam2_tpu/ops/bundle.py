@@ -124,6 +124,7 @@ def bundle_adjust(
     fix_first_free: bool = False,
     solver: str = "dense",
     cg_iters: int = 48,
+    axis_name: str = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the two-stage LM schedule.  Returns (poses, points, obs_inlier).
 
@@ -141,7 +142,22 @@ def bundle_adjust(
         no [P, C] object anywhere).  The preconditioner is the EXACT 6×6
         block diagonal of S, so convergence matches dense Cholesky to
         float32 noise in a few dozen iterations.  Use for global BA.
+
+    ``axis_name``: when set, the call is running INSIDE ``shard_map`` over
+    that mesh axis with observations AND points partitioned by point block
+    (parallel/dist_ba.py): prob.pt_i holds LOCAL point indices, poses are
+    replicated, and every camera-side segment sum / total cost closes with
+    one ``lax.psum``.  The per-CG-iteration communication is exactly one
+    [C, 6] psum — O(C) bytes, independent of the observation count
+    (requires solver="cg"; the dense coupling build is per-point and
+    cannot shard by observation).
     """
+    if axis_name is not None and solver != "cg":
+        raise ValueError("sharded bundle_adjust requires solver='cg'")
+
+    def allsum(x):
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
     C = n_free
     P = prob.points.shape[0]
 
@@ -169,7 +185,7 @@ def bundle_adjust(
                 rho = jnp.where(r <= d, sq, 2.0 * d * r - d * d)
             else:
                 rho = sq
-            return jnp.sum(jnp.where(obs_w > 0, rho, 0.0) * obs_w)
+            return allsum(jnp.sum(jnp.where(obs_w > 0, rho, 0.0) * obs_w))
 
         def linearize(poses, points):
             e, Jc, Jp, is_s, behind = _residuals_jacobians(
@@ -183,12 +199,12 @@ def bundle_adjust(
             Jc_w = Jc * w[:, None, None]
             Jp_w = Jp * w[:, None, None]
 
-            Hcc = jnp.zeros((C + 1, 6, 6), poses.dtype).at[cam_slot].add(
-                jnp.einsum("ori,orj->oij", Jc_w, Jc))[:C]
+            Hcc = allsum(jnp.zeros((C + 1, 6, 6), poses.dtype).at[
+                cam_slot].add(jnp.einsum("ori,orj->oij", Jc_w, Jc))[:C])
             Hpp = jnp.zeros((P, 3, 3), poses.dtype).at[prob.pt_i].add(
                 jnp.einsum("ori,orj->oij", Jp_w, Jp))
-            g_c = jnp.zeros((C + 1, 6), poses.dtype).at[cam_slot].add(
-                jnp.einsum("ori,or->oi", Jc_w, e))[:C]
+            g_c = allsum(jnp.zeros((C + 1, 6), poses.dtype).at[
+                cam_slot].add(jnp.einsum("ori,or->oi", Jc_w, e))[:C])
             g_p = jnp.zeros((P, 3), poses.dtype).at[prob.pt_i].add(
                 jnp.einsum("ori,or->oi", Jp_w, e))
             if solver == "dense":
@@ -216,7 +232,7 @@ def bundle_adjust(
                     fix_first_free, poses.dtype)
             return _schur_solve_cg(
                 coup, Hcc_d, Hpp_inv, g_c, g_p, prob, cam_slot,
-                C, P, fix_first_free, cg_iters, poses.dtype)
+                C, P, fix_first_free, cg_iters, poses.dtype, allsum)
 
         def iteration(carry, _):
             poses, points, blocks, cost, lam, done = carry
@@ -309,22 +325,27 @@ def _schur_solve_dense(Ucp, Hcc_d, Hpp_inv, g_c, g_p,
 
 
 def _schur_solve_cg(a_obs, Hcc_d, Hpp_inv, g_c, g_p, prob, cam_slot,
-                    C, P, fix_first_free, cg_iters, dtype):
+                    C, P, fix_first_free, cg_iters, dtype,
+                    allsum=lambda x: x):
     """Matrix-free PCG on the Schur complement (global-BA path).
 
     Never builds a [P, C] object: the coupling lives as per-observation
     6×3 blocks  a_o = Jc_oᵀ W_o Jp_o (pre-masked to free cameras), and
     S·x = Hcc·x − U Hpp⁻¹ Uᵀ x is two segment-sums (point-gather →
     3×3 solve → camera-scatter).  The preconditioner is the exact 6×6
-    block diagonal of S."""
+    block diagonal of S.
+
+    Under ``allsum`` = psum (sharded path): the point-side segment sum is
+    LOCAL (every point's observations live on its own device), so the one
+    collective per matvec is the [C, 6] camera reduction."""
 
     def schur_matvec(x):                                  # x: [C, 6]
         xo = x[jnp.where(prob.cam_i < C, prob.cam_i, 0)]  # [O, 6]
         y = jnp.zeros((P, 3), dtype).at[prob.pt_i].add(
             jnp.einsum("oij,oi->oj", a_obs, xo))          # Uᵀ x
         z = jnp.einsum("pij,pj->pi", Hpp_inv, y)          # Hpp⁻¹ Uᵀ x
-        out = jnp.zeros((C + 1, 6), dtype).at[cam_slot].add(
-            jnp.einsum("oij,oj->oi", a_obs, z[prob.pt_i]))[:C]
+        out = allsum(jnp.zeros((C + 1, 6), dtype).at[cam_slot].add(
+            jnp.einsum("oij,oj->oi", a_obs, z[prob.pt_i]))[:C])
         Sx = jnp.einsum("cij,cj->ci", Hcc_d, x) - out
         if fix_first_free:
             Sx = Sx.at[0].set(x[0])
@@ -332,8 +353,8 @@ def _schur_solve_cg(a_obs, Hcc_d, Hpp_inv, g_c, g_p, prob, cam_slot,
 
     # rhs = −(g_c − U Hpp⁻¹ g_p)
     zp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
-    Uz = jnp.zeros((C + 1, 6), dtype).at[cam_slot].add(
-        jnp.einsum("oij,oj->oi", a_obs, zp[prob.pt_i]))[:C]
+    Uz = allsum(jnp.zeros((C + 1, 6), dtype).at[cam_slot].add(
+        jnp.einsum("oij,oj->oi", a_obs, zp[prob.pt_i]))[:C])
     rhs = -(g_c - Uz)
     if fix_first_free:
         rhs = rhs.at[0].set(0.0)
@@ -341,8 +362,8 @@ def _schur_solve_cg(a_obs, Hcc_d, Hpp_inv, g_c, g_p, prob, cam_slot,
     # exact block diagonal of S for the preconditioner
     diagS_obs = jnp.einsum("oij,ojk,olk->oil", a_obs, Hpp_inv[prob.pt_i],
                            a_obs)                          # [O, 6, 6]
-    diagS = Hcc_d - jnp.zeros((C + 1, 6, 6), dtype).at[cam_slot].add(
-        diagS_obs)[:C]
+    diagS = Hcc_d - allsum(jnp.zeros((C + 1, 6, 6), dtype).at[cam_slot].add(
+        diagS_obs)[:C])
     if fix_first_free:
         diagS = diagS.at[0].set(jnp.eye(6, dtype=dtype))
     Minv = _inv6x6(diagS + 1e-6 * jnp.eye(6, dtype=dtype))

@@ -4,71 +4,134 @@ The BASELINE.json north star: "keyframes and map-point blocks partition
 across hosts, with distributed bundle adjustment reducing per-camera Schur
 complements via all-reduce/reduce-scatter over ICI".
 
-Implementation: observations are sharded along the mesh's data axis;
-``bundle.bundle_adjust`` runs under jit with sharding constraints, and
-GSPMD turns the per-block scatter-add segment sums (Hcc/Hpp/Ucp/g builds)
-into local partial sums + ``psum`` over ICI, exactly the reduce of Schur
-blocks the north star describes.  Poses/points stay replicated (they are
-tiny next to observations), the reduced 6C×6C solve is computed identically
-on every device.
+Design (round 4 — explicit ``shard_map``, replacing the GSPMD
+auto-partitioned version whose scatter-adds into replicated [P, 3] /
+[C, 6] arrays cost a collective per segment-sum and ran 3.2× slower than
+unsharded, VERDICT r3 weak #2):
+
+  * **points are partitioned into contiguous blocks**, one block per
+    device, and every observation is routed to the device that owns its
+    point (host-side stable counting sort, done once per solve);
+  * inside ``shard_map``, the point-side segment sums of the CG-Schur
+    solver (ops/bundle.py) are therefore LOCAL — no communication;
+  * poses are replicated (tiny next to observations); the camera-side
+    reductions close with one ``lax.psum``:
+      - per LM iteration: Hcc [C,6,6] + g_c [C,6] + diag(S) [C,6,6]
+        at linearization, one scalar for the trial cost,
+      - per CG iteration: exactly ONE [C, 6] psum (the Schur matvec).
+    Total bytes per CG iteration = 24·C — independent of the observation
+    count, which is what lets global BA ride ICI at pod sizes and DCN
+    across hosts.
+
+``collectives_accounting`` returns the closed-form count for the JSON
+audit line (VERDICT r3 next-round #2).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from orbslam2_tpu.ops import bundle
 from orbslam2_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
 from orbslam2_tpu.utils import camera as cam_mod
 
-_OBS_FIELDS = ("cam_i", "pt_i", "uv", "ur", "inv_sigma2", "valid")
+
+def collectives_accounting(lm_iters: int, cg_iters: int, C: int) -> Dict:
+    """Closed-form collective count/volume per sharded bundle_adjust call."""
+    per_lm = cg_iters + 3 + 1          # matvec psums + (Hcc, g_c, diagS) + cost
+    return {
+        "psums_per_lm_iter": per_lm,
+        "psum_bytes_per_cg_iter": 24 * C,
+        "psums_total": lm_iters * per_lm + 2,   # +2 outlier-pass relinearize
+    }
 
 
-def _put_global(v, sharding):
-    """Place a host array under ``sharding``; works on single-process AND
-    multi-process meshes (every process holds the same full ``v`` and
-    contributes its addressable shards)."""
-    import numpy as np
-    v = np.asarray(v)
-    return jax.make_array_from_callback(v.shape, sharding,
-                                        lambda idx: v[idx])
+def _partition_by_point(prob: bundle.BAProblem, n_dev: int):
+    """Route observations to the device owning their point (stable
+    counting sort on the host).  Returns (obs_dict, flat_src, P_pad, O_loc)
+    where obs_dict holds [n_dev·O_loc] reordered observation arrays and
+    flat_src maps padded row → original observation index (−1 = padding).
+    """
+    O = int(prob.cam_i.shape[0])
+    Pn = int(prob.points.shape[0])
+    P_pad = pad_to_multiple(Pn, n_dev)
+    P_loc = P_pad // n_dev
+    pt_i = np.asarray(prob.pt_i)
+    dev = np.clip(pt_i, 0, Pn - 1) // P_loc
+    order = np.argsort(dev, kind="stable")
+    counts = np.bincount(dev, minlength=n_dev)
+    O_loc = int(pad_to_multiple(max(int(counts.max()), 1), 8))
+    flat_src = np.full((n_dev, O_loc), -1, np.int64)
+    off = 0
+    for d in range(n_dev):
+        c = int(counts[d])
+        flat_src[d, :c] = order[off:off + c]
+        off += c
+    flat_src = flat_src.reshape(-1)
+    take = np.maximum(flat_src, 0)
+
+    def g(x):
+        return np.asarray(x)[take]
+
+    valid = np.where(flat_src >= 0, g(prob.valid), False)
+    obs = {
+        "cam_i": g(prob.cam_i).astype(np.int32),
+        "pt_i": g(prob.pt_i).astype(np.int32),
+        "uv": g(prob.uv).astype(np.float32),
+        "ur": g(prob.ur).astype(np.float32),
+        "inv_sigma2": g(prob.inv_sigma2).astype(np.float32),
+        "valid": valid,
+    }
+    return obs, flat_src, P_pad, O_loc
 
 
-def shard_problem(mesh: Mesh, prob: bundle.BAProblem) -> bundle.BAProblem:
-    """Pad observation arrays to the mesh size and lay them out sharded;
-    poses/points replicated."""
-    n_dev = mesh.devices.size
-    O = prob.cam_i.shape[0]
-    O_pad = pad_to_multiple(O, n_dev)
-    obs_sh = NamedSharding(mesh, P(DATA_AXIS))
-    repl = NamedSharding(mesh, P())
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "n_free", "iters_a", "iters_b",
+                                    "fix_first_free", "P_loc", "cg_iters",
+                                    "n_obs_orig"))
+def _sharded_ba(mesh, cam, poses, points, point_valid, cam_i, pt_i, uv, ur,
+                inv_sigma2, valid, src, n_free, iters_a, iters_b,
+                fix_first_free, P_loc, cg_iters, n_obs_orig):
+    obs_spec = P(DATA_AXIS)
+    pt_spec = P(DATA_AXIS, None)
 
-    def pad_obs(x):
-        pad = [(0, O_pad - O)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad)
+    def kernel(poses, points_blk, pv_blk, cam_i, pt_i, uv, ur, isig, valid,
+               src):
+        d = jax.lax.axis_index(DATA_AXIS)
+        local_pt = jnp.clip(pt_i - d * P_loc, 0, P_loc - 1)
+        owned = (pt_i >= d * P_loc) & (pt_i < (d + 1) * P_loc)
+        prob = bundle.BAProblem(
+            poses=poses, points=points_blk, point_valid=pv_blk,
+            cam_i=cam_i, pt_i=local_pt, uv=uv, ur=ur, inv_sigma2=isig,
+            valid=valid & owned)
+        poses_o, points_o, inlier = bundle.bundle_adjust(
+            cam, prob, n_free, iters_a=iters_a, iters_b=iters_b,
+            fix_first_free=fix_first_free, solver="cg", cg_iters=cg_iters,
+            axis_name=DATA_AXIS)
+        # un-permute the inlier mask on device (one [O] psum): row → its
+        # original observation index; padding rows (src<0) are dropped
+        inl_orig = jax.lax.psum(
+            jnp.zeros((n_obs_orig,), jnp.int32).at[
+                jnp.where(src >= 0, src, n_obs_orig)].add(
+                inlier.astype(jnp.int32)), DATA_AXIS)
+        return poses_o, points_o, inl_orig > 0
 
-    out = {}
-    for f in prob._fields:
-        v = getattr(prob, f)
-        if f in _OBS_FIELDS:
-            # padded rows carry valid=False ⇒ dead observations
-            out[f] = _put_global(pad_obs(v), obs_sh)
-        else:
-            out[f] = _put_global(v, repl)
-    return bundle.BAProblem(**out)
-
-
-@functools.partial(jax.jit, static_argnames=("n_free", "iters_a", "iters_b",
-                                             "fix_first_free", "solver"))
-def _ba_jit(cam, prob, n_free, iters_a, iters_b, fix_first_free, solver):
-    return bundle.bundle_adjust(cam, prob, n_free, iters_a=iters_a,
-                                iters_b=iters_b,
-                                fix_first_free=fix_first_free, solver=solver)
+    f = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(), pt_spec, P(DATA_AXIS), obs_spec, obs_spec,
+                  P(DATA_AXIS, None), obs_spec, obs_spec, obs_spec,
+                  obs_spec),
+        out_specs=(P(), pt_spec, P()),
+        check_vma=False)
+    return f(poses, points, point_valid, cam_i, pt_i, uv, ur, inv_sigma2,
+             valid, src)
 
 
 def distributed_bundle_adjust(
@@ -79,19 +142,45 @@ def distributed_bundle_adjust(
     iters_a: int = 5,
     iters_b: int = 10,
     fix_first_free: bool = False,
-    solver: str = "dense",
+    solver: str = "cg",
+    cg_iters: int = 48,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (poses, points, obs_inlier[: original O]).
+    """Returns (poses, points, obs_inlier[: original O], original order).
 
-    ``solver="cg"`` runs the matrix-free Schur path (ops/bundle.py):
-    per-observation coupling blocks stay sharded with the observations, so
-    every CG matvec is local partial segment-sums + one psum of the [C, 6]
-    result — the communication volume is O(C) per iteration, independent
-    of the observation count, which is what lets global BA ride DCN at
-    multi-host sizes."""
-    O = prob.cam_i.shape[0]
-    sp = shard_problem(mesh, prob)
-    with mesh:
-        poses, points, inlier = _ba_jit(cam, sp, n_free, iters_a, iters_b,
-                                        fix_first_free, solver)
-    return poses, points, inlier[:O]
+    Observations are routed to the device that owns their point; inside
+    the mesh each device runs the identical LM schedule on its local
+    observation set with one [C, 6] psum per CG matvec (module docstring).
+    Results are bit-identical across devices (the reduced system is
+    replicated), so poses come back unsharded and points as blocks."""
+    if solver != "cg":
+        raise ValueError("distributed BA is CG-Schur only")
+    n_dev = mesh.devices.size
+    O = int(prob.cam_i.shape[0])
+    Pn = int(prob.points.shape[0])
+    obs, flat_src, P_pad, O_loc = _partition_by_point(prob, n_dev)
+    P_loc = P_pad // n_dev
+
+    pts = np.zeros((P_pad, 3), np.float32)
+    pts[:Pn] = np.asarray(prob.points)
+    pv = np.zeros((P_pad,), bool)
+    pv[:Pn] = np.asarray(prob.point_valid)
+
+    obs_sh = NamedSharding(mesh, P(DATA_AXIS))
+    pt_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    repl = NamedSharding(mesh, P())
+
+    def put(v, sh):
+        v = np.asarray(v)
+        return jax.make_array_from_callback(v.shape, sh, lambda idx: v[idx])
+
+    poses, points, inlier = _sharded_ba(
+        mesh, cam,
+        put(np.asarray(prob.poses), repl), put(pts, pt_sh), put(pv, obs_sh),
+        put(obs["cam_i"], obs_sh), put(obs["pt_i"], obs_sh),
+        put(obs["uv"], pt_sh), put(obs["ur"], obs_sh),
+        put(obs["inv_sigma2"], obs_sh), put(obs["valid"], obs_sh),
+        put(flat_src.astype(np.int32), obs_sh),
+        n_free=n_free, iters_a=iters_a, iters_b=iters_b,
+        fix_first_free=fix_first_free, P_loc=P_loc, cg_iters=cg_iters,
+        n_obs_orig=O)
+    return poses, points[:Pn], inlier

@@ -369,6 +369,17 @@ class LoopCloser:
         _jax.block_until_ready(self.f_detect_step(ms, self.db, k0))
         _jax.block_until_ready(ms2.kf_pose)
 
+    def prewarm_reloc(self, ms: M.MapState, fd) -> None:
+        """Compile the relocalization programs (frame BoW + DB query +
+        per-candidate EPnP attempt) — otherwise they compile on the first
+        real LOST frame, mid-sequence."""
+        import jax as _jax
+        vec = self.f_frame_bow(fd.desc, fd.valid)
+        self.f_detect(ms, self.db, jnp.int32(-1), vec, jnp.float32(0.0))
+        out = self.f_reloc(ms, fd.desc, fd.valid, fd.xy, fd.level, fd.ur,
+                           fd.angle, jnp.int32(0), self._split_key())
+        _jax.block_until_ready(out[0])
+
     def on_keyframe(self, ms: M.MapState, kf: int, kf_ordinal: int
                     ) -> Tuple[M.MapState, bool]:
         """DB registration + loop detection (+ correction on success) for

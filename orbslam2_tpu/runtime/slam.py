@@ -112,6 +112,45 @@ class SlamEngine:
                       "kf_culled": 0, "ba_outliers": 0, "reloc": 0,
                       "mp_fused": 0, "loops_closed": 0}
 
+    # ------------------------------------------------------------- prewarm
+    def prewarm(self, localization: bool = False) -> None:
+        """Compile every steady-state program variant once, against the
+        CURRENT map state (zero-valued dummy frames; shapes are static so
+        values are irrelevant).  Without this, the rare paths — per-frame
+        fallback tracking, TrackReferenceKeyFrame, relocalization, the
+        per-frame mapping step — compile mid-sequence on their first LOST
+        window, stalling the pipeline for tens of seconds (round-4 probe:
+        3 fallback calls cost 31 s of a 33 s run).  The reference has no
+        equivalent because C++ has no JIT; this is the TPU analogue of
+        its warm start."""
+        H, W = self.cfg.camera.height, self.cfg.camera.width
+        if self.cfg.sensor == STEREO:
+            pay = np.zeros(2 * H * W, np.uint8)
+        elif self.cfg.sensor == RGBD:
+            pay = (np.zeros(H * W, np.uint8), np.zeros(H * W, np.float32))
+        else:
+            pay = np.zeros(H * W, np.uint8)
+        ms = self.ms
+        N = self.cfg.orb.n_features_padded
+        assoc = jnp.full((N,), M.NO_MP, jnp.int32)
+        okv = jnp.ones((N,), bool)
+        eye = jnp.eye(4, dtype=jnp.float32)
+        k0 = jnp.int32(0)
+        ms2, fd, res = self.f_track_frame(ms, pay, eye, assoc, okv, k0)
+        self.f_track_ref(ms, fd, k0, eye)
+        self.f_track(ms, fd, eye, assoc, okv, k0)
+        self.f_apply_counters(ms, res.visible_mask, res.found_mask)
+        zp = self._zeros_p
+        _ms3, _stats = self.f_mapping_step(
+            ms, fd, eye, assoc, k0, k0, jnp.int32(-1), k0, jnp.float32(0.0),
+            jnp.bool_(True), jnp.bool_(True), zp, zp)
+        if localization:
+            self.f_track_frame_loc(ms, pay, fd, eye, eye, assoc, okv, k0)
+        if self.loop_closer is not None:
+            self.loop_closer.prewarm(ms)
+            self.loop_closer.prewarm_reloc(ms, fd)
+        jax.block_until_ready(_stats)
+
     # --------------------------------------------------------- frame entry
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> Optional[np.ndarray]:

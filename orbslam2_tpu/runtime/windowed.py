@@ -163,6 +163,31 @@ class WindowedSlamEngine(SlamEngine):
         self._buf: List[Tuple] = []          # (payload parts, timestamp)
         self._last_retired: Optional[np.ndarray] = None
 
+    # ------------------------------------------------------------- prewarm
+    def prewarm(self, localization: bool = False) -> None:
+        """Base prewarm (per-frame fallback path, mapping, reloc, loop
+        programs) + the window tracker and windowed mapping step."""
+        super().prewarm(localization=localization)
+        H, W_img = self.cfg.camera.height, self.cfg.camera.width
+        B = self.window
+        if self.cfg.sensor == STEREO:
+            pay = np.zeros(B * 2 * H * W_img, np.uint8)
+        else:
+            pay = (np.zeros(B * H * W_img, np.uint8),
+                   np.zeros(B * H * W_img, np.float32))
+        N = self.cfg.orb.n_features_padded
+        assoc = jnp.full((N,), -1, jnp.int32)
+        inl = jnp.zeros((N,), bool)
+        state_T = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (2, 1, 1))
+        out = self.f_track_window(self.ms, pay, state_T, assoc, inl,
+                                  jnp.int32(0))
+        zp = self._zeros_p
+        _ms, stats = self.f_window_kf(
+            self.ms, out.fds, out.assocs, out.Tcws, jnp.int32(0),
+            jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+            jnp.float32(0.0), jnp.bool_(True), jnp.bool_(True), zp, zp)
+        jax.block_until_ready(stats)
+
     # --------------------------------------------------------- frame entry
     def track_stereo(self, left, right, timestamp: float):
         if self.state != tracking.OK:

@@ -39,16 +39,26 @@ def test_distributed_matches_single_device(rng):
     assert agree > 0.99, agree
 
 
-def test_sharded_layout(rng):
-    """Observation arrays actually land sharded across the mesh."""
+def test_partition_by_point(rng):
+    """Every observation is routed to the device owning its point block,
+    and the padded row → original-index map round-trips."""
     cam, prob, *_ = _make_ba_problem(rng, n_pts=100)
-    mesh = mesh_mod.make_mesh()
-    sp = dist_ba.shard_problem(mesh, prob)
-    # obs arrays sharded along the data axis, poses replicated
-    assert len(sp.uv.sharding.device_set) == 8
-    assert not sp.uv.sharding.is_fully_replicated
-    assert sp.poses.sharding.is_fully_replicated
-    assert sp.uv.shape[0] % 8 == 0
+    n_dev = 8
+    obs, flat_src, P_pad, O_loc = dist_ba._partition_by_point(prob, n_dev)
+    assert P_pad % n_dev == 0
+    P_loc = P_pad // n_dev
+    O = int(prob.cam_i.shape[0])
+    # each real row's point belongs to the device of its row block
+    for d in range(n_dev):
+        rows = slice(d * O_loc, (d + 1) * O_loc)
+        src = flat_src[rows]
+        pts = obs["pt_i"][rows][src >= 0]
+        assert np.all((pts // P_loc) == d)
+    # permutation covers every original observation exactly once
+    covered = np.sort(flat_src[flat_src >= 0])
+    np.testing.assert_array_equal(covered, np.arange(O))
+    # padding rows are invalid
+    assert not obs["valid"][flat_src < 0].any()
 
 
 def test_distributed_cg_matches_single_device(rng):
