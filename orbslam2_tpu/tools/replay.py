@@ -133,11 +133,22 @@ def run_euroc_stereo(mav_dir: str, settings: Optional[str],
                      traj_out: Optional[str] = None,
                      max_frames: Optional[int] = None,
                      pace: bool = False) -> ReplayReport:
+    from orbslam2_tpu.ops.rectify import load_rectification
     from orbslam2_tpu.utils.datasets import iter_euroc_stereo
     sys_ = System(None, settings, sensor=STEREO)
     frames = iter_euroc_stereo(mav_dir, timestamp_file)
     if max_frames:
         frames = _take(frames, max_frames)
+    # stereo rectification from the LEFT./RIGHT. blocks — the reference
+    # driver remaps every frame (stereo_euroc.cc:72-100,165); without it
+    # EuRoC's unrectified fisheye pairs cannot run row-banded stereo
+    rect = load_rectification(settings) if settings else None
+    if rect is not None:
+        def _rectified(it):
+            for l, r, t in it:
+                rl, rr = rect(l, r)
+                yield rl, rr, t
+        frames = _rectified(frames)
     rep = replay(sys_, frames, "stereo", pace=pace)
     if traj_out:
         sys_.save_trajectory_tum(traj_out)
