@@ -172,3 +172,29 @@ def test_gba_slot_reuse_guard(built_map, rng):
     # its reference KF (the gauge anchor ⇒ unchanged)
     got = np.asarray(merged.mp_pos[slot])
     np.testing.assert_allclose(got, np.asarray(new_pos), atol=1e-3)
+
+
+def test_gba_distributed_path_matches_single(built_map, rng):
+    """On a multi-device host GbaManager routes through the shard_map
+    CG-Schur solver; the result must match the single-device chunked
+    solve (same schedule, psum-reduced camera systems)."""
+    cfg, ms, _ = built_map
+    ms_pert = _perturb(ms, rng)
+
+    mgr_d = GbaManager(cfg)                      # 8 CPU devices → mesh
+    assert mgr_d.mesh is not None
+    mgr_d.launch(ms_pert)
+    mgr_d.wait(timeout=600)
+    merged_d, ok_d = mgr_d.poll_and_merge(ms_pert)
+    assert ok_d and mgr_d.stats["distributed"] == 1
+
+    mgr_s = GbaManager(cfg, use_mesh=False)
+    assert mgr_s.mesh is None
+    mgr_s.launch(ms_pert)
+    mgr_s.wait(timeout=600)
+    merged_s, ok_s = mgr_s.poll_and_merge(ms_pert)
+    assert ok_s and mgr_s.stats["distributed"] == 0
+
+    rms_d = _reproj_rms(merged_d, cfg)
+    rms_s = _reproj_rms(merged_s, cfg)
+    assert rms_d < 1.2 * rms_s + 0.05, (rms_d, rms_s)
