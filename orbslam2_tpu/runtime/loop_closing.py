@@ -284,12 +284,18 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
                       fd_ur, fd_angle, kf: jax.Array, key: jax.Array):
         """One relocalization candidate (Tracking::Relocalization inner
         loop, Tracking.cc:1440-1603): brute-force descriptor match against
-        the candidate KF's map points → EPnP RANSAC → pose-opt polish.
+        the candidate KF's map points → EPnP RANSAC → pose-opt polish →
+        the two-stage SearchByProjection rescue (Tracking.cc:1549-1580):
+        10–49 inliers trigger a 10 px / TH_HIGH window re-match +
+        re-optimization, then 30–49 a 3 px / 64 window — the path that
+        makes relocalization work when the direct BoW match is thin.
         Returns (Tcw, n_inliers, assoc)."""
         from orbslam2_tpu.ops import pnp, pose_opt
 
+        N_kp = fd_xy.shape[0]
         kdesc = ms.kf_desc[kf]
-        kvalid = ms.kf_kp_valid[kf] & (ms.kf_mp[kf] >= 0)
+        kmp = ms.kf_mp[kf]
+        kvalid = ms.kf_kp_valid[kf] & (kmp >= 0)
         m, _ = matching.match_descriptors(
             fd_desc, fd_valid, kdesc, kvalid,
             nn_ratio=cfg.tracking.relocalization_nn_ratio,
@@ -297,25 +303,83 @@ def make_loop_fns(cfg: SlamConfig, voc: Vocabulary):
             angle_b=ms.kf_angle[kf])
         ok = m >= 0
         msafe = jnp.where(ok, m, 0)
-        mp = ms.kf_mp[kf][msafe]
+        mp = kmp[msafe]
         ok = ok & (mp >= 0) & ms.mp_valid[jnp.where(mp >= 0, mp, 0)]
         assoc = jnp.where(ok, mp, M.NO_MP)
         pts_w = ms.mp_pos[jnp.where(ok, mp, 0)]
         sigma2 = jnp.asarray(
             np.array([cfg.orb.scale_factor ** (2 * l)
                       for l in range(cfg.orb.n_levels)], np.float32))
+        inv_s2 = (1.0 / sigma2)[fd_level]
         res = pnp.pnp_ransac(
             cam, pts_w, fd_xy, sigma2[fd_level], ok, key,
             n_hypotheses=128,
             chi2_th=cfg.tracking.pnp_ransac_th2,
             min_inliers=cfg.tracking.pnp_ransac_min_inliers)
         obs = pose_opt.PoseObs(
-            pts_w=pts_w, uv=fd_xy, ur=fd_ur,
-            inv_sigma2=(1.0 / sigma2)[fd_level],
-            valid=ok)
+            pts_w=pts_w, uv=fd_xy, ur=fd_ur, inv_sigma2=inv_s2, valid=ok)
         Tcw, inl, n = pose_opt.pose_optimization(cam, res.Tcw, obs)
         assoc = jnp.where(inl, assoc, M.NO_MP)
-        return Tcw, jnp.where(res.ok, n, 0), assoc
+        n = jnp.where(res.ok, n, 0)
+
+        # candidate KF's map points as a projection query (the rescue
+        # matches against MapPoint descriptors, ORBmatcher.cc:1468-1593)
+        kmp_safe = jnp.where(kvalid, kmp, 0)
+        normals = ms.mp_normal()
+
+        def rescue(Tcw, assoc, radius, th_dist):
+            """SearchByProjection(frame, candidate, sFound, radius, th) +
+            re-optimization; already-associated points are excluded."""
+            found = jnp.zeros((ms.P,), bool).at[
+                jnp.where(assoc >= 0, assoc, ms.P)].set(True)
+            qvalid = kvalid & ms.mp_valid[kmp_safe] & (~found[kmp_safe])
+            q = matching.ProjectionQuery(
+                pos_w=ms.mp_pos[kmp_safe], normal=normals[kmp_safe],
+                min_dist=ms.mp_min_dist[kmp_safe],
+                max_dist=ms.mp_max_dist[kmp_safe],
+                desc=ms.mp_desc[kmp_safe], valid=qvalid)
+            m2, d2, _ = matching.search_by_projection(
+                cam, Tcw, q, fd_xy, fd_level, fd_desc, fd_valid, fd_ur,
+                cfg.orb.scale_factor, cfg.orb.n_levels, radius=radius,
+                nn_ratio=2.0, th_dist=th_dist)
+            m2 = matching.resolve_duplicates(m2, d2, N_kp)
+            add_assoc = jnp.full((N_kp + 1,), M.NO_MP, jnp.int32).at[
+                jnp.where(m2 >= 0, m2, N_kp)].set(
+                jnp.where(m2 >= 0, kmp_safe, M.NO_MP))[:N_kp]
+            merged = jnp.where(assoc >= 0, assoc, add_assoc)
+            n_add = jnp.sum((add_assoc >= 0).astype(jnp.int32))
+            ok3 = merged >= 0
+            obs3 = pose_opt.PoseObs(
+                pts_w=ms.mp_pos[jnp.where(ok3, merged, 0)],
+                uv=fd_xy, ur=fd_ur, inv_sigma2=inv_s2, valid=ok3)
+            Tcw3, inl3, n3 = pose_opt.pose_optimization(cam, Tcw, obs3)
+            return Tcw3, jnp.where(inl3, merged, M.NO_MP), n3, n_add
+
+        def coarse(args):
+            Tcw, assoc, n = args
+            Tcw2, assoc2, n2, n_add = rescue(Tcw, assoc, jnp.float32(10.0),
+                                             jnp.float32(matching.TH_HIGH))
+            hit = n_add + n >= 50          # Tcw.cc:1555 acceptance gate
+
+            def narrow(args2):
+                Tcw2, assoc2, n2 = args2
+                Tcw4, assoc4, n4, n_add2 = rescue(
+                    Tcw2, assoc2, jnp.float32(3.0), jnp.float32(64.0))
+                take = n2 + n_add2 >= 50   # :1569 final gate
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(take, a, b),
+                    (Tcw4, assoc4, n4), (Tcw2, assoc2, n2))
+
+            out = jax.lax.cond(
+                hit & (n2 > 30) & (n2 < 50), narrow,
+                lambda a: a, (Tcw2, assoc2, n2))
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(hit, a, b),
+                out, (Tcw, assoc, n))
+
+        Tcw, assoc, n = jax.lax.cond(
+            (n >= 10) & (n < 50), coarse, lambda a: a, (Tcw, assoc, n))
+        return Tcw, n, assoc
 
     return (kf_bow_vector, min_neighbor_score, detect, match_for_sim3,
             recount_matches, correct_loop, global_ba, frame_bow_vector,

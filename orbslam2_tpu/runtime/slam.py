@@ -184,6 +184,12 @@ class SlamEngine:
 
     # ------------------------------------------------------------ tracking
     def _track_common(self, pay, timestamp: float) -> Optional[np.ndarray]:
+        # auto-reset when lost soon after initialization (Tracking.cc:
+        # 571-580: LOST with ≤5 keyframes → full system reset; a bad
+        # bootstrap map would otherwise pin the engine LOST forever)
+        if (self.state == tracking.LOST and not self.localization_only
+                and self.n_kfs <= 5):
+            self._auto_reset()
         if self.state in (tracking.NO_IMAGES_YET, tracking.NOT_INITIALIZED):
             fd = self._decode(pay)
             ok = self._initialize(fd, timestamp)
@@ -586,6 +592,40 @@ class SlamEngine:
                 # poses moved wholesale — rebase the motion model
                 self.velocity = None
                 self.last_Tcw = np.asarray(self.ms.kf_pose[kf_slot])
+
+    def _auto_reset(self) -> None:
+        """Tracking::Reset semantics (Tracking.cc:1605-1654) in place:
+        clear map, keyframe DB, loop-closing state and trajectory; keep
+        the compiled programs.  Triggered by the lost-≤5-KF guard."""
+        cfg = self.cfg
+        self.ms = M.empty_map(cfg)
+        self.state = tracking.NO_IMAGES_YET
+        self.n_kfs = 0
+        self.kf_ordinal = 0
+        self.n_live_points = 0
+        self.last_kf_frame_id = self.frame_id
+        self.ref_kf = 0
+        self.velocity = None
+        self.last_Tcw = None
+        self.last_assoc = None
+        self.last_inlier = None
+        self.last_fd = None
+        self._mono_ref = None
+        self._free_kf_slots = set(range(cfg.capacity.max_keyframes))
+        with self._traj_lock:
+            self._culled_remap = {}
+            self.trajectory = []        # mlRelativeFramePoses.clear()
+        if self.loop_closer is not None:
+            from orbslam2_tpu.models import keyframe_db as db_mod
+            lc = self.loop_closer
+            lc.gba.abort()
+            lc.db = db_mod.KeyFrameDB.empty(cfg.capacity.max_keyframes,
+                                            lc.voc.n_words)
+            lc.consistent_groups = []
+            lc.prev_loops = []
+            lc.last_loop_kf = -1
+            lc._deferred = None
+        self.stats["resets"] = self.stats.get("resets", 0) + 1
 
     def _handle_lost(self, fd, timestamp: float) -> Optional[np.ndarray]:
         """Relocalization path (Tracking.cc:434-449)."""
