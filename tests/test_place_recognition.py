@@ -92,6 +92,36 @@ def test_epnp_ransac(rng):
     assert inl.mean() > 0.5
 
 
+def test_epnp_ransac_near_planar(rng):
+    """Near-planar geometry (PnPsolver.cc:668-759: the beta N=2/3 cases):
+    points on a wall-like plane with millimetric thickness.  The N=1-only
+    solve is unstable here; the full beta-case + Gauss-Newton EPnP must
+    still land in pose-opt's convergence basin."""
+    cam = cam_mod.Camera.from_config(CAM)
+    n = 80
+    # plane z = 10 + 0.02*x - 0.01*y with 1 mm noise: rank-deficient depth
+    x = rng.uniform(-5, 5, n)
+    y = rng.uniform(-3, 3, n)
+    z = 10.0 + 0.02 * x - 0.01 * y + rng.normal(0, 0.001, n)
+    pts = np.stack([x, y, z], -1).astype(np.float32)
+    xi = np.array([0.08, -0.15, 0.1, 0.2, -0.1, 0.15], np.float32)
+    T_true = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+    pc = pts @ T_true[:3, :3].T + T_true[:3, 3]
+    uv = np.stack([450 * pc[:, 0] / pc[:, 2] + 320,
+                   450 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32)
+    uv += rng.normal(0, 0.3, uv.shape)
+
+    res = pnp.pnp_ransac(
+        cam, jnp.asarray(pts), jnp.asarray(uv, jnp.float32),
+        jnp.ones(n, jnp.float32), jnp.ones(n, bool),
+        jax.random.PRNGKey(1), n_hypotheses=128)
+    assert bool(res.ok)
+    T = np.asarray(res.Tcw)
+    dT = T @ np.linalg.inv(T_true)
+    assert np.linalg.norm(dT[:3, 3]) < 0.3, dT[:3, 3]
+    assert np.asarray(res.inliers).mean() > 0.6
+
+
 def test_sim3_ransac(rng):
     cam = cam_mod.Camera.from_config(CAM)
     n = 60
