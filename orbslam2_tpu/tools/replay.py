@@ -193,3 +193,96 @@ def _take(it, n):
         if i >= n:
             return
         yield x
+
+
+def run_kitti_mono(seq_dir: str, settings: Optional[str],
+                   traj_out: Optional[str] = None,
+                   max_frames: Optional[int] = None,
+                   pace: bool = False) -> ReplayReport:
+    """mono_kitti.cc: KITTI image_0 as a monocular sequence."""
+    from orbslam2_tpu.utils.datasets import iter_kitti_stereo
+    sys_ = System(None, settings, sensor=MONOCULAR)
+    frames = ((l, t) for l, _r, t in iter_kitti_stereo(seq_dir))
+    if max_frames:
+        frames = _take(frames, max_frames)
+    rep = replay(sys_, frames, "mono", pace=pace)
+    if traj_out:
+        sys_.save_keyframe_trajectory_tum(traj_out)   # mono_kitti.cc:138
+    sys_.shutdown()
+    return rep
+
+
+def run_euroc_mono(mav_dir: str, settings: Optional[str],
+                   timestamp_file: Optional[str] = None,
+                   traj_out: Optional[str] = None,
+                   max_frames: Optional[int] = None,
+                   pace: bool = False) -> ReplayReport:
+    """mono_euroc.cc: EuRoC cam0 as a monocular sequence."""
+    from orbslam2_tpu.utils.datasets import iter_euroc_stereo
+    sys_ = System(None, settings, sensor=MONOCULAR)
+    frames = ((l, t) for l, _r, t in iter_euroc_stereo(mav_dir,
+                                                       timestamp_file))
+    if max_frames:
+        frames = _take(frames, max_frames)
+    rep = replay(sys_, frames, "mono", pace=pace)
+    if traj_out:
+        sys_.save_keyframe_trajectory_tum(traj_out)   # mono_euroc.cc:119
+    sys_.shutdown()
+    return rep
+
+
+def run_isl_stereo(left_dir: str, right_dir: str, times_file: str,
+                   settings: Optional[str],
+                   traj_out: Optional[str] = None,
+                   max_frames: Optional[int] = None) -> ReplayReport:
+    """stereo_isl.cc: custom ISL stereo layout with replayer=true — the
+    frame clock waits out a running GBA instead of racing it
+    (System.cc:169-183; ctor at stereo_isl.cc:76)."""
+    from orbslam2_tpu.utils.datasets import iter_isl_stereo
+    sys_ = System(None, settings, sensor=STEREO, replayer=True)
+    frames = iter_isl_stereo(left_dir, right_dir, times_file)
+    if max_frames:
+        frames = _take(frames, max_frames)
+    rep = replay(sys_, frames, "stereo")
+    if traj_out:
+        sys_.save_trajectory_tum(traj_out)
+    sys_.shutdown()
+    return rep
+
+
+def run_ird_realsense(sequence_dir: str, settings: Optional[str],
+                      traj_out: Optional[str] = None,
+                      max_frames: Optional[int] = None,
+                      depth_extension: str = "png",
+                      save_map: bool = True) -> ReplayReport:
+    """Test/Replay/IRD/realsense.cc: recorded RealSense IR+depth sequence
+    through the RGBD entry, with map save enabled (realsense.cc:94)."""
+    from orbslam2_tpu.utils.datasets import iter_ird_realsense
+    sys_ = System(None, settings, sensor=RGBD, save_map=save_map)
+    cfg = sys_.cfg
+    frames = iter_ird_realsense(sequence_dir, depth_extension,
+                                cfg.camera.depth_map_factor or 1000.0)
+    if max_frames:
+        frames = _take(frames, max_frames)
+    rep = replay(sys_, frames, "ird")
+    if traj_out:
+        sys_.save_trajectory_tum(traj_out)
+    sys_.shutdown()
+    return rep
+
+
+def run_qrcode_replay(image_paths, out_file: str = "QRCodes.txt"):
+    """Test/Replay/QRCode/qrCode.cc: detect/decode QR codes per frame,
+    accumulate the landmark list, save QRCodes.txt."""
+    from orbslam2_tpu.utils.markers import QrCodeTracker
+
+    tracker = QrCodeTracker()
+    if not tracker.available:
+        print("cv2 QRCodeDetector unavailable; no-op", file=sys.stderr)
+        return tracker
+    from orbslam2_tpu.utils.datasets import _imread_gray
+    for p in image_paths:
+        img = _imread_gray(p) if isinstance(p, str) else p
+        tracker.track(img, None)
+    tracker.save(out_file)
+    return tracker

@@ -126,3 +126,45 @@ def load_tum_groundtruth(root: str) -> Tuple[np.ndarray, np.ndarray]:
             ts.append(v[0])
             pos.append(v[1:4])
     return np.asarray(ts), np.asarray(pos)
+
+
+# --------------------------------------------------------------------- ISL --
+
+def iter_isl_stereo(left_dir: str, right_dir: str, times_file: str
+                    ) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+    """ISL custom stereo layout (stereo_isl.cc:186-211): a timestamp file
+    of nanosecond stamps, frames at <stamp>_left.jpg / <stamp>_right.jpg."""
+    with open(times_file) as f:
+        stamps = [line.strip() for line in f if line.strip()]
+    for s in stamps:
+        pl = os.path.join(left_dir, f"{s}_left.jpg")
+        pr = os.path.join(right_dir, f"{s}_right.jpg")
+        if os.path.exists(pl) and os.path.exists(pr):
+            yield _imread_gray(pl), _imread_gray(pr), float(s) / 1e9
+
+
+# ----------------------------------------------------------- IRD RealSense --
+
+def iter_ird_realsense(sequence_dir: str, depth_extension: str = "png",
+                       depth_factor: float = 1000.0
+                       ) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+    """Recorded RealSense IRD sequence (Test/Replay/IRD/realsense.cc:185):
+    infrared/ and depth/ directories, the first two (warm-up) frames of
+    each dropped, timestamps = depth filenames without extension.  The
+    depth frame is resized to the IR frame's shape when they differ
+    (realsense.cc:121-123 imDresized)."""
+    ir_dir = os.path.join(sequence_dir, "infrared")
+    d_dir = os.path.join(sequence_dir, "depth")
+    irs = sorted(os.listdir(ir_dir))[2:]
+    ds = sorted(os.listdir(d_dir))[2:]
+    for ir_name, d_name in zip(irs, ds):
+        t = float(os.path.splitext(d_name)[0].split("_")[-1])
+        ir = _imread_gray(os.path.join(ir_dir, ir_name))
+        depth = _imread_depth(os.path.join(d_dir, d_name), depth_factor)
+        if depth.shape != ir.shape:
+            ys = (np.arange(ir.shape[0]) * depth.shape[0]
+                  // ir.shape[0]).clip(0, depth.shape[0] - 1)
+            xs = (np.arange(ir.shape[1]) * depth.shape[1]
+                  // ir.shape[1]).clip(0, depth.shape[1] - 1)
+            depth = depth[np.ix_(ys, xs)]
+        yield ir, depth, t

@@ -90,3 +90,50 @@ def test_aruco_scanner_graceful():
     # must not raise regardless of cv2.aruco availability
     out = s.scan(np.zeros((64, 64), np.float32)) if s.available else []
     assert isinstance(out, list)
+
+
+def test_live_viewer_serves_state_and_menu(rng):
+    """Viewer role (Viewer.cc:54-248): live state endpoint + the
+    localization-mode menu toggle driving the System mode switch."""
+    import json
+    import urllib.request
+
+    from orbslam2_tpu.config import (CameraConfig, CapacityConfig,
+                                     OrbConfig, STEREO, SlamConfig)
+    from orbslam2_tpu.runtime.system import System
+    from orbslam2_tpu.utils import synthetic
+    from orbslam2_tpu.utils.live_viewer import LiveViewer
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                            bf=150.0, width=640, height=480, fps=10.0,
+                            th_depth=60.0),
+        orb=OrbConfig(n_features=256),
+        capacity=CapacityConfig(max_keyframes=8, max_map_points=2048,
+                                local_ba_keyframes=4, local_ba_points=512),
+        sensor=STEREO)
+    sys_ = System(None, None, sensor=STEREO, config=cfg)
+    world = synthetic.make_world(rng)
+    for i, T in enumerate(synthetic.straight_trajectory(3, step=0.3)):
+        l, r = synthetic.render_world_stereo(world, cfg.camera, T, rng, 1.0)
+        sys_.track_stereo(l, r, 0.1 * i)
+
+    viewer = LiveViewer(sys_)
+    port = viewer.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+        assert "Localization Mode" in page
+        st = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/state", timeout=10).read())
+        assert st["n_kfs"] >= 1 and st["n_points"] > 50
+        assert st["camera"] is not None
+        assert st["localization"] is False
+        # menu toggle drives System::ActivateLocalizationMode
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/toggle_localization", method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=10).read())
+        assert out["localization"] is True
+        assert sys_.engine.localization_only is True
+    finally:
+        viewer.stop()
