@@ -158,11 +158,13 @@ def _make_texture(rng: np.random.Generator, size: int = 512,
 
 
 def make_world(rng: np.random.Generator, kind: str = "corridor",
-               tex_size: int = 512) -> World:
+               tex_size: int = 512, tex_fn=None) -> World:
     """Textured-plane worlds.  "corridor": ground/walls/ceiling/far wall,
     depth range ~3–60 m.  "random": randomized room dimensions plus a few
     finite facade quads at varied depth/orientation — used to harvest a
-    diverse vocabulary corpus."""
+    diverse vocabulary corpus.  ``tex_fn(rng)`` overrides the texture
+    source (vocabulary harvesting feeds real-raster + alternative
+    procedural textures here, models/vocabulary.py)."""
     def plane(p0, n, eu, scale=20.0, u_range=None, v_range=None):
         n = np.asarray(n, np.float64)
         n = n / np.linalg.norm(n)
@@ -170,8 +172,10 @@ def make_world(rng: np.random.Generator, kind: str = "corridor",
         eu = eu - n * (eu @ n)
         eu /= np.linalg.norm(eu)
         ev = np.cross(n, eu)
+        tex = (tex_fn(rng) if tex_fn is not None
+               else _make_texture(rng, tex_size))
         return Plane(p0=np.asarray(p0, np.float64), n=n, eu=eu, ev=ev,
-                     tex=_make_texture(rng, tex_size), scale=scale,
+                     tex=np.asarray(tex, np.float32), scale=scale,
                      u_range=u_range, v_range=v_range)
 
     if kind == "random":
