@@ -101,6 +101,38 @@ class System:
         self._replayer_sync()
         return self.engine.track_monocular(im, timestamp)
 
+    def change_calibration(self, settings_file: str) -> None:
+        """Tracking::ChangeCalibration (Tracking.cc:1656): swap camera
+        intrinsics/distortion/bf from a new settings file while KEEPING the
+        map.  The reference rewrites mK/mDistCoef and re-triggers
+        mbInitialComputations; here the camera is baked into the compiled
+        programs as closure constants, so the engine's pipelines are
+        rebuilt around the new calibration and the live state (map,
+        trajectory, counters, loop-closing DB) is transplanted."""
+        new_cam = SlamConfig.from_yaml(settings_file,
+                                       sensor=self.sensor).camera
+        self.cfg = self.cfg.replace(camera=new_cam)
+        old = self.engine
+        lc = old.loop_closer
+        kw = {}
+        if type(old).__name__ == "WindowedSlamEngine":
+            kw["window"] = old.window
+        self.engine = type(old)(self.cfg, enable_loop_closing=lc is not None,
+                                vocabulary=None if lc is None else lc.voc,
+                                **kw)
+        for attr in ("ms", "state", "n_kfs", "kf_ordinal", "n_live_points",
+                     "frame_id", "last_kf_frame_id", "ref_kf", "velocity",
+                     "last_Tcw", "last_assoc", "last_inlier", "trajectory",
+                     "localization_only", "_free_kf_slots", "_culled_remap",
+                     "stats"):
+            setattr(self.engine, attr, getattr(old, attr))
+        if lc is not None:
+            nlc = self.engine.loop_closer
+            nlc.db = lc.db
+            nlc.consistent_groups = lc.consistent_groups
+            nlc.prev_loops = lc.prev_loops
+            nlc.last_loop_kf = lc.last_loop_kf
+
     # ------------------------------------------------------------- modes --
     def activate_localization_mode(self):
         """System::ActivateLocalizationMode (System.cc:377): tracking

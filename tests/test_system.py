@@ -131,3 +131,51 @@ def test_hpose_world_conversion():
     wp = HPose.from_Tcw(Tcw).to_world_frame()
     np.testing.assert_allclose(wp.position, [1.0, 0.0, 0.0], atol=1e-9)
     assert np.allclose(HPose().euler(), 0.0)
+
+
+def test_change_calibration(tmp_path, rng):
+    """Tracking::ChangeCalibration (Tracking.cc:1656): new intrinsics take
+    effect while the map survives."""
+    from orbslam2_tpu.config import (CameraConfig, CapacityConfig,
+                                     OrbConfig, STEREO, SlamConfig)
+    from orbslam2_tpu.runtime.system import System
+    from orbslam2_tpu.utils import synthetic
+
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0, bf=150.0,
+                       width=640, height=480, fps=10.0, th_depth=60.0)
+    cfg = SlamConfig(
+        camera=cam, orb=OrbConfig(n_features=400),
+        capacity=CapacityConfig(max_keyframes=16, max_map_points=4096,
+                                local_ba_keyframes=4, local_ba_points=1024),
+        sensor=STEREO)
+    sys_ = System(None, None, sensor=STEREO, config=cfg)
+    world = synthetic.make_world(rng)
+    poses = synthetic.straight_trajectory(8, step=0.3)
+    for i in range(4):
+        l, r = synthetic.render_world_stereo(world, cam, poses[i], rng, 1.0)
+        sys_.track_stereo(l, r, 0.1 * i)
+    kfs_before = sys_.engine.n_kfs
+    assert kfs_before >= 1
+
+    cam2 = CameraConfig(fx=455.0, fy=455.0, cx=318.0, cy=242.0, bf=151.0,
+                        width=640, height=480, fps=10.0, th_depth=60.0)
+    settings = tmp_path / "new.yaml"
+    settings.write_text(f"""%YAML:1.0
+Camera.fx: {cam2.fx}
+Camera.fy: {cam2.fy}
+Camera.cx: {cam2.cx}
+Camera.cy: {cam2.cy}
+Camera.bf: {cam2.bf}
+Camera.fps: 10.0
+Camera.width: 640
+Camera.height: 480
+ThDepth: 60.0
+""")
+    sys_.change_calibration(str(settings))
+    assert sys_.cfg.camera.fx == 455.0
+    assert sys_.engine.n_kfs == kfs_before          # map survived
+    # tracking continues under the (slightly) new calibration
+    for i in range(4, 8):
+        l, r = synthetic.render_world_stereo(world, cam2, poses[i], rng, 1.0)
+        out = sys_.track_stereo(l, r, 0.1 * i)
+    assert out is not None
