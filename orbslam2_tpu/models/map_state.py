@@ -220,6 +220,22 @@ def add_observations(ms: MapState, kf: jax.Array, feat_idx: jax.Array,
                        mp_max_dist=max_dist, mp_min_dist=min_dist)
 
 
+def compact_mask(mask: jax.Array, cap: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Indices of the first ``cap`` True entries of ``mask`` [M], in index
+    order: (ids [cap], ok [cap]).  One cumsum + one scatter — replaces
+    ``top_k(mask.astype(f32), cap)`` boolean compactions, which lower to a
+    full O(M log M) sort on TPU and dominated the fixed cost of every
+    mapping/tracking stage at M = 16k-32k."""
+    M = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (rank < cap), rank, cap)
+    ids = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(
+        jnp.arange(M, dtype=jnp.int32))[:cap]
+    ok = jnp.zeros((cap + 1,), bool).at[tgt].set(True)[:cap]
+    return ids, ok
+
+
 def alloc_mp_slots(ms: MapState, ok: jax.Array
                    ) -> Tuple[jax.Array, jax.Array]:
     """Allocate one free map-point row per ok=True entry, reusing culled
@@ -231,11 +247,10 @@ def alloc_mp_slots(ms: MapState, ok: jax.Array
     Returns (slots [n], ok' [n]) where ok' masks off requests that did not
     fit (map truly full)."""
     n = ok.shape[0]
-    # stable argsort of the liveness mask puts free rows first, in index order
-    free_ids = jnp.argsort(ms.mp_valid, stable=True)[:n]
-    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    slots = free_ids[jnp.clip(rank, 0, n - 1)]
-    ok = ok & (~ms.mp_valid[slots])
+    free_ids, has = compact_mask(~ms.mp_valid, n)
+    rank = jnp.clip(jnp.cumsum(ok.astype(jnp.int32)) - 1, 0, n - 1)
+    slots = free_ids[rank]
+    ok = ok & has[rank]
     return slots.astype(jnp.int32), ok
 
 

@@ -80,25 +80,29 @@ def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0
                   ) -> jax.Array:
     """Separable Gaussian blur with reflect-101 (OpenCV default) borders.
 
-    [..., H, W] → same shape.  Two 1-D convolutions — XLA fuses these and
-    they stream straight through the VPU; a 7×7 direct conv would be 3.5×
-    the FLOPs for no benefit.
+    [..., H, W] → same shape.  Implemented as 2·ksize static shifted
+    slices with scalar weights — pure elementwise VPU work that XLA fuses
+    into one pass.  (A 1-channel NCHW conv_general_dilated here cost
+    ~2.5 ms per 480×640 level on the bench chip: the MXU path pads the
+    single channel to a full lane group and wastes >95% of the array;
+    the slice form runs in ~0.05 ms.)
     """
-    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    k = _gaussian_kernel_1d(ksize, sigma)       # numpy: closure constants
     r = ksize // 2
-    batch_shape = img.shape[:-2]
     h, w = img.shape[-2], img.shape[-1]
-    x = img.reshape((-1, 1, h, w))
+    pad = [(0, 0)] * (img.ndim - 2)
 
-    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        xp, k.reshape(1, 1, ksize, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        xp, k.reshape(1, 1, 1, ksize), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x.reshape(batch_shape + (h, w))
+    xp = jnp.pad(img, pad + [(r, r), (0, 0)], mode="reflect")
+    acc = None
+    for i in range(ksize):
+        term = float(k[i]) * jax.lax.slice_in_dim(xp, i, i + h, axis=-2)
+        acc = term if acc is None else acc + term
+    xp = jnp.pad(acc, pad + [(0, 0), (r, r)], mode="reflect")
+    acc = None
+    for i in range(ksize):
+        term = float(k[i]) * jax.lax.slice_in_dim(xp, i, i + w, axis=-1)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def to_grayscale(img: jax.Array, rgb_order: bool = True) -> jax.Array:

@@ -81,8 +81,7 @@ def make_triangulation_bodies(cfg: SlamConfig):
         T1, T2 = ms.kf_pose[kf1], ms.kf_pose[kf2]
         free1_full = ms.kf_kp_valid[kf1] & (ms.kf_mp[kf1] < 0)
         free2 = ms.kf_kp_valid[kf2] & (ms.kf_mp[kf2] < 0)
-        _, rows = jax.lax.top_k(free1_full.astype(jnp.float32), R1)
-        free1 = free1_full[rows]
+        rows, free1 = M.compact_mask(free1_full, R1)
         m_c, _ = matching.search_for_triangulation(
             cam, T1, T2,
             ms.kf_xy[kf1][rows], ms.kf_level[kf1][rows],

@@ -54,8 +54,7 @@ def fuse_points_into_kf(ms: M.MapState, kf, pt_mask, cam, cfg
         cam, Tcw, ms.mp_pos, 0.8 * ms.mp_min_dist, 1.2 * ms.mp_max_dist,
         normals)
     cand = pt_mask & ms.mp_valid & vis
-    _, ids = jax.lax.top_k(cand.astype(jnp.float32), C)
-    sel_ok = cand[ids]
+    ids, sel_ok = M.compact_mask(cand, C)
     q = matching.ProjectionQuery(
         pos_w=ms.mp_pos[ids], normal=normals[ids],
         min_dist=ms.mp_min_dist[ids],
@@ -117,8 +116,7 @@ def make_mapping_fns(cfg: SlamConfig):
             jnp.where(free_ok, free_ids, K)].set(True)
 
         pt_mask = M.points_of_kfs(ms, free_mask_k) & ms.mp_valid
-        _, pt_ids = jax.lax.top_k(pt_mask.astype(jnp.float32), P_loc)
-        pt_sel = pt_mask[pt_ids]
+        pt_ids, pt_sel = M.compact_mask(pt_mask, P_loc)
         local_of = jnp.full((ms.P,), -1, jnp.int32).at[
             jnp.where(pt_sel, pt_ids, ms.P)].set(
             jnp.arange(P_loc, dtype=jnp.int32))

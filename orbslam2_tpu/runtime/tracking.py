@@ -220,8 +220,7 @@ def make_tracking_fns(cfg: SlamConfig):
             cam, pose1, ms.mp_pos, 0.8 * ms.mp_min_dist,
             1.2 * ms.mp_max_dist, normals)
         cand = local_pt & ms.mp_valid & vis_all & (~matched_mask)
-        _, ids = jax.lax.top_k(cand.astype(jnp.float32), Cc)   # [C]
-        sel_ok = cand[ids]
+        ids, sel_ok = M.compact_mask(cand, Cc)                 # [C]
         q2 = matching.ProjectionQuery(
             pos_w=ms.mp_pos[ids], normal=normals[ids],
             min_dist=ms.mp_min_dist[ids],
