@@ -185,8 +185,16 @@ def match_descriptors(
 
     Returns (a→b index [A], distance [A]).
     """
-    d = hamming.masked_hamming_matrix(desc_a, valid_a, desc_b, valid_b)
-    best, best_idx, second = best_and_second(d)
+    if jax.default_backend() == "tpu":
+        # fused Pallas tile kernel: the [A, B] distance matrix never
+        # leaves VMEM (ops/pallas_hamming.py; bit-identical to the XLA
+        # path, asserted by tests/test_tpu_smoke.py)
+        from orbslam2_tpu.ops import pallas_hamming
+        best, best_idx, second = pallas_hamming.hamming_top2(
+            desc_a, valid_a, desc_b, valid_b)
+    else:
+        d = hamming.masked_hamming_matrix(desc_a, valid_a, desc_b, valid_b)
+        best, best_idx, second = best_and_second(d)
     ok = ((best <= th) & (best < nn_ratio * second.astype(jnp.float32))
           & valid_a)
     if check_rotation and angle_a is not None:

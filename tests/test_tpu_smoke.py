@@ -121,3 +121,24 @@ def test_steady_state_fps(bench_engine):
     eng.flush()
     fps = n / (time.perf_counter() - t0)
     assert fps > 15.0, f"steady-state {fps:.1f} fps"
+
+
+def test_pallas_hamming_matches_xla(rng):
+    """The fused Pallas hamming+top2 kernel is bit-identical to the XLA
+    reference path (including invalid-row/col sentinels and the
+    first-index argmin tie-break)."""
+    import jax.numpy as jnp
+
+    from orbslam2_tpu.ops import hamming, matching, pallas_hamming
+
+    for (A, B) in [(1024, 1024), (600, 512), (256, 300)]:
+        a = jnp.asarray(rng.integers(0, 2 ** 32, (A, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2 ** 32, (B, 8), dtype=np.uint32))
+        av = jnp.asarray(rng.random(A) < 0.9)
+        bv = jnp.asarray(rng.random(B) < 0.9)
+        best, idx, sec = pallas_hamming.hamming_top2(a, av, b, bv)
+        d = hamming.masked_hamming_matrix(a, av, b, bv)
+        rb, ri, rs = matching.best_and_second(d)
+        np.testing.assert_array_equal(np.asarray(best), np.asarray(rb))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(sec), np.asarray(rs))
