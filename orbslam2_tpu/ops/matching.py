@@ -151,6 +151,13 @@ def search_by_projection(
     r = jnp.where(view_cos > 0.998, 2.5, 4.0) * (radius / 4.0)
     win = r * scale_of                                     # [P]
 
+    # NOTE: a Pallas fusion of this gate+distance+top2 was measured and
+    # dropped — XLA's reduce fusion already keeps every [P, N]
+    # intermediate out of HBM here (the fused gate+min chain runs FASTER
+    # than materializing the distance matrix alone), so the kernel bought
+    # nothing and fought VMEM limits.  The Pallas win is real only for
+    # the plain matcher whose matrix IS otherwise materialized
+    # (pallas_hamming.hamming_top2, used by match_descriptors).
     du = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])           # [P, N]
     dv = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
     in_win = (du < win[:, None]) & (dv < win[:, None])
