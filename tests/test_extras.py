@@ -137,3 +137,41 @@ def test_live_viewer_serves_state_and_menu(rng):
         assert sys_.engine.localization_only is True
     finally:
         viewer.stop()
+
+
+def test_ar_plane_detection_and_cube_overlay(rng):
+    """ViewerAR capability (DetectPlane RANSAC + cube overlay,
+    Test/Replay/ROS/ORB_SLAM2/src/AR/ViewerAR.cc:392,159-180)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam2_tpu.config import CameraConfig
+    from orbslam2_tpu.utils import ar
+
+    # synthetic map: 200 points on the plane y = 2 (+5mm noise), 60 off it
+    n_on, n_off = 200, 60
+    on = np.stack([rng.uniform(-5, 5, n_on),
+                   np.full(n_on, 2.0) + rng.normal(0, 0.005, n_on),
+                   rng.uniform(5, 25, n_on)], -1)
+    off = np.stack([rng.uniform(-5, 5, n_off), rng.uniform(-3, 1.5, n_off),
+                    rng.uniform(5, 25, n_off)], -1)
+    pts = np.concatenate([on, off]).astype(np.float32)
+    P = len(pts)
+    valid = np.ones(P, bool)
+    n_obs = np.full(P, 8, np.int32)
+
+    fit = ar.detect_plane(jnp.asarray(pts), jnp.asarray(valid),
+                          jnp.asarray(n_obs), jax.random.PRNGKey(0))
+    assert bool(fit.ok)
+    n = np.asarray(fit.n)
+    assert abs(abs(n[1]) - 1.0) < 0.02, n          # normal ≈ ±y
+    assert abs(abs(float(fit.d)) - 2.0) < 0.1
+    Twp = ar.plane_frame(fit)
+    assert abs(Twp[1, 3] - 2.0) < 0.2              # origin on the plane
+
+    # overlay: the cube must mark pixels when in front of the camera
+    cam = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0, bf=150.0,
+                       width=640, height=480)
+    frame = np.zeros((480, 640), np.float32)
+    out = ar.draw_cube(frame, cam, np.eye(4), Twp, size=0.5)
+    assert (out == 255.0).sum() > 50
