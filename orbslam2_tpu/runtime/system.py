@@ -179,6 +179,23 @@ class System:
         optimization (Geneva/Eckenhoff/Huang formulation)."""
         return self.engine.current_pose_covariance()
 
+    def get_current_covariance_world(self) -> Optional[np.ndarray]:
+        """6×6 covariance in the SAME world frame TrackIRD's HPose uses
+        (ORB camera axes → world: x_w=z, y_w=−x, z_w=−y, System.cc:298-319)
+        — the fusion consumer of TrackIRD gets pose AND covariance in one
+        frame.  Rotation/translation blocks transform by the fixed axis
+        permutation: Σ_w = J Σ Jᵀ with J = diag(R_p, R_p)."""
+        cov = self.engine.current_pose_covariance()
+        if cov is None:
+            return None
+        Rp = np.array([[0.0, 0.0, 1.0],
+                       [-1.0, 0.0, 0.0],
+                       [0.0, -1.0, 0.0]])
+        J = np.zeros((6, 6))
+        J[:3, :3] = Rp           # rotation (so3) block
+        J[3:, 3:] = Rp           # translation block
+        return J @ cov @ J.T
+
     def get_tracked_points(self) -> int:
         if self.engine.last_assoc is None:
             return 0

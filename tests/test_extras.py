@@ -175,3 +175,37 @@ def test_ar_plane_detection_and_cube_overlay(rng):
     frame = np.zeros((480, 640), np.float32)
     out = ar.draw_cube(frame, cam, np.eye(4), Twp, size=0.5)
     assert (out == 255.0).sum() > 50
+
+
+def test_world_frame_covariance(rng):
+    """TrackIRD frame consistency: the covariance transforms by the same
+    axis permutation as the HPose world remap (System.cc:298-319)."""
+    from orbslam2_tpu.config import (CameraConfig, CapacityConfig,
+                                     OrbConfig, RGBD, SlamConfig)
+    from orbslam2_tpu.runtime.system import System
+    from orbslam2_tpu.utils import synthetic
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=240.0,
+                            bf=150.0, width=640, height=480, fps=10.0,
+                            th_depth=60.0),
+        orb=OrbConfig(n_features=256),
+        capacity=CapacityConfig(max_keyframes=8, max_map_points=2048,
+                                local_ba_keyframes=4, local_ba_points=512),
+        sensor=RGBD)
+    sys_ = System(None, None, sensor=RGBD, config=cfg)
+    world = synthetic.make_world(rng)
+    for i, T in enumerate(synthetic.straight_trajectory(3, step=0.3)):
+        g, d = synthetic.render_world(world, cfg.camera, T, rng, 1.0,
+                                      with_depth=True)
+        hp = sys_.track_ird(g, d, 0.1 * i)
+    assert hp is not None
+    cov = sys_.get_current_covariance()
+    cov_w = sys_.get_current_covariance_world()
+    assert cov is not None and cov_w is not None
+    # a similarity transform preserves the eigenvalue spectrum
+    np.testing.assert_allclose(np.sort(np.linalg.eigvalsh(cov)),
+                               np.sort(np.linalg.eigvalsh(cov_w)),
+                               rtol=1e-4)
+    # translation variance axes permuted: var_z(cam) -> var_x(world)
+    np.testing.assert_allclose(cov_w[3, 3], cov[5, 5], rtol=1e-6)
