@@ -75,7 +75,11 @@ def make_slam_window_tracker(cfg: SlamConfig, window: int):
             d = depth.reshape(B, H, W_img)
             return frontend(g[i], d[i])
     else:
-        raise ValueError("windowed SLAM supports stereo/RGBD sensors")
+        frontend = frame_mod.make_frontend_mono(cfg)
+
+        def decode(payload, i):
+            g = payload.reshape(B, H, W_img).astype(jnp.float32)
+            return frontend(g[i])
 
     @jax.jit
     def track_window(ms: M.MapState, payload, state_T: jax.Array,
@@ -155,8 +159,8 @@ class WindowedSlamEngine(SlamEngine):
                  vocabulary=None, window: int = 4):
         super().__init__(cfg, enable_loop_closing=enable_loop_closing,
                          vocabulary=vocabulary)
-        assert cfg.sensor != MONOCULAR, \
-            "windowed engine: stereo/RGBD only (mono init is host-driven)"
+        # mono: the H/F bootstrap stays host-driven (per-frame path);
+        # once initialized, tracking windows run exactly like stereo/RGBD
         self.window = window
         self.f_track_window = make_slam_window_tracker(cfg, window)
         self.f_window_kf = make_window_mapping_step(cfg)
@@ -172,6 +176,8 @@ class WindowedSlamEngine(SlamEngine):
         B = self.window
         if self.cfg.sensor == STEREO:
             pay = np.zeros(B * 2 * H * W_img, np.uint8)
+        elif self.cfg.sensor == MONOCULAR:
+            pay = np.zeros(B * H * W_img, np.uint8)
         else:
             pay = (np.zeros(B * H * W_img, np.uint8),
                    np.zeros(B * H * W_img, np.float32))
@@ -204,27 +210,45 @@ class WindowedSlamEngine(SlamEngine):
                np.ascontiguousarray(depth, dtype=np.float32).reshape(-1))
         return self._push(pay, timestamp)
 
+    def track_monocular(self, gray, timestamp: float):
+        if self.state != tracking.OK:
+            return super().track_monocular(gray, timestamp)
+        pay = np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1)
+        return self._push(pay, timestamp)
+
     def _push(self, pay, timestamp: float):
         self._buf.append((pay, timestamp))
         if len(self._buf) >= self.window:
             buf, self._buf = self._buf, []
-            # software pipeline: dispatch window k+1 from window k's
-            # DEVICE outputs (state_T/assoc need no host fetch), THEN
-            # retire window k (summary fetch + keyframe work) while the
-            # new window computes.  Tracking therefore runs against a map
-            # ≤1 window stale — the same contract as the reference's
-            # tracking thread racing its busy LocalMapping queue.
-            disp = self._dispatch_window(buf)
-            self._retire_pending()
-            if self.state == tracking.OK:
-                self._pending = disp
+            if self.cfg.sensor == MONOCULAR:
+                # NO cross-window pipeline for mono: map points appear
+                # only through triangulation at keyframe inserts, so a
+                # whole window tracked against a pre-insert map runs out
+                # of coverage under motion (stereo/RGBD mint depth points
+                # at the insert itself and tolerate the staleness).
+                # Windows still amortize dispatch; they just retire
+                # before the next one launches.
+                self._pending = self._dispatch_window(buf)
+                self._retire_pending()
             else:
-                # the retired window lost tracking — the in-flight window
-                # was predicted from a junk pose; reprocess its frames
-                # through the per-frame LOST/relocalization path
-                for pay2, ts2 in disp["buf"]:
-                    self._last_retired = SlamEngine._track_common(
-                        self, pay2, ts2)
+                # software pipeline: dispatch window k+1 from window k's
+                # DEVICE outputs (state_T/assoc need no host fetch), THEN
+                # retire window k (summary fetch + keyframe work) while
+                # the new window computes.  Tracking therefore runs
+                # against a map ≤1 window stale — the same contract as
+                # the reference's tracking thread racing its busy
+                # LocalMapping queue.
+                disp = self._dispatch_window(buf)
+                self._retire_pending()
+                if self.state == tracking.OK:
+                    self._pending = disp
+                else:
+                    # the retired window lost tracking — the in-flight
+                    # window was predicted from a junk pose; reprocess its
+                    # frames through the per-frame LOST/reloc path
+                    for pay2, ts2 in disp["buf"]:
+                        self._last_retired = SlamEngine._track_common(
+                            self, pay2, ts2)
         return self._last_retired
 
     def flush(self):
@@ -251,7 +275,7 @@ class WindowedSlamEngine(SlamEngine):
 
     # ------------------------------------------------------------- window
     def _window_payload(self, buf):
-        if self.cfg.sensor == STEREO:
+        if self.cfg.sensor in (STEREO, MONOCULAR):
             return np.concatenate([p for p, _ in buf])
         grays = np.concatenate([p[0] for p, _ in buf])
         depths = np.concatenate([p[1] for p, _ in buf])
@@ -347,6 +371,19 @@ class WindowedSlamEngine(SlamEngine):
                     and self._need_new_keyframe(sm, ref_override)):
                 self._create_window_keyframe(out, j, ts)
                 ref_override = sm.n_inliers_map
+                if self.cfg.sensor == MONOCULAR and j + 1 < len(buf):
+                    # mono: the rest of the window was tracked against the
+                    # pre-insert map, which lacks the freshly triangulated
+                    # points — reprocess those frames per-frame against
+                    # the NEW map instead of retiring stale results
+                    self.frame_id += 1
+                    self.last_assoc = self.ms.kf_mp[self.ref_kf]
+                    self.last_inlier = jnp.ones_like(self.last_inlier)
+                    self._pending_counters = None
+                    for pay2, ts2 in buf[j + 1:]:
+                        self._last_retired = SlamEngine._track_common(
+                            self, pay2, ts2)
+                    return
             self.frame_id += 1
         self.state = tracking.OK
         self.last_assoc = out.last_assoc

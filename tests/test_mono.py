@@ -115,3 +115,43 @@ def test_mono_slam_sequence(rng):
     rmse = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=True)
     path_len = 0.32 * n_frames
     assert rmse < 0.03 * path_len, (rmse, eng.stats)
+
+
+@pytest.mark.slow
+def test_mono_windowed_engine(rng):
+    """Monocular on the windowed engine: host-driven H/F bootstrap, then
+    W-frames-per-dispatch tracking like stereo/RGBD (round-4 capability —
+    the windowed engine previously rejected MONOCULAR)."""
+    from orbslam2_tpu.runtime.windowed import WindowedSlamEngine
+
+    cfg = SlamConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=2000),
+        capacity=CapacityConfig(max_keyframes=64, max_map_points=1 << 14,
+                                local_ba_keyframes=8, local_ba_points=2048),
+        sensor=MONOCULAR)
+    scene = synthetic.make_scene(rng, 1800, extent=(14.0, 9.0, 9.0),
+                                 z_near=2.5)
+    n_frames = 24
+    poses_gt = [synthetic.look_ahead_pose(
+        np.array([0.3 * i, 0.0, 0.1 * i])) for i in range(n_frames)]
+    eng = WindowedSlamEngine(cfg, enable_loop_closing=False, window=4)
+    for i, T in enumerate(poses_gt):
+        img = synthetic.render(scene, cfg.camera, T, rng, 1.0)
+        eng.track_monocular(img, 0.1 * i)
+    eng.flush()
+    assert eng.state == tracking.OK, eng.stats
+    assert eng.stats["kf_inserted"] >= 3
+
+    poses_est = eng.frame_poses()
+    est_c, gt_c = [], []
+    for Te, Tg, e in zip(poses_est, poses_gt, eng.trajectory):
+        if Te is None or e.lost:
+            continue
+        est_c.append(-Te[:3, :3].T @ Te[:3, 3])
+        gt_c.append(-Tg[:3, :3].T @ Tg[:3, 3])
+    est_c, gt_c = np.asarray(est_c), np.asarray(gt_c[-len(est_c):])
+    assert len(est_c) >= n_frames - 6
+    rmse = trajectory.ate_rmse(est_c, gt_c, align=True, with_scale=True)
+    path_len = 0.32 * n_frames
+    assert rmse < 0.05 * path_len, (rmse, eng.stats)
