@@ -192,10 +192,13 @@ def match_descriptors(
 
     Returns (a→b index [A], distance [A]).
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and desc_b.shape[0] <= 4096:
         # fused Pallas tile kernel: the [A, B] distance matrix never
         # leaves VMEM (ops/pallas_hamming.py; bit-identical to the XLA
-        # path, asserted by tests/test_tpu_smoke.py)
+        # path, asserted by tests/test_tpu_smoke.py).  Guarded on B: the
+        # kernel keeps a [256, B] int32 tile resident, so a concatenated
+        # multi-keyframe bank past ~4k columns would blow the ~16 MB VMEM
+        # budget — larger banks take the HBM XLA path (ADVICE r4)
         from orbslam2_tpu.ops import pallas_hamming
         best, best_idx, second = pallas_hamming.hamming_top2(
             desc_a, valid_a, desc_b, valid_b)

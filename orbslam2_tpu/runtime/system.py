@@ -113,6 +113,11 @@ class System:
                                        sensor=self.sensor).camera
         self.cfg = self.cfg.replace(camera=new_cam)
         old = self.engine
+        if hasattr(old, "flush"):
+            # windowed engines hold up to window-1 buffered frames plus an
+            # in-flight window and deferred keyframe stats — retire them
+            # under the OLD calibration before transplanting (ADVICE r4)
+            old.flush()
         lc = old.loop_closer
         kw = {}
         if type(old).__name__ == "WindowedSlamEngine":

@@ -269,6 +269,21 @@ class WindowedSlamEngine(SlamEngine):
         self.flush()
         return super().finish_gba()
 
+    def _auto_reset(self) -> None:
+        # Drop windowed in-flight state BEFORE the base reset: deferred
+        # keyframe stats, the pending window, buffered frames and the
+        # motion-model history all refer to the pre-reset map — retiring
+        # them afterwards would overwrite n_live_points with a stale
+        # count and replay culled-slot bookkeeping against the fresh map
+        # (ADVICE r4, medium).
+        self._deferred_stats = []
+        self._pending = None
+        self._pending_counters = None
+        self._prev2_Tcw = None
+        self._buf = []
+        self._last_retired = None
+        super()._auto_reset()
+
     def frame_poses(self):
         self.flush()
         return super().frame_poses()
