@@ -17,10 +17,46 @@ import jax.numpy as jnp
 MAX_DIST = 256  # distances are in [0, 256]; use as +inf sentinel
 
 
+_MXU_THRESHOLD = 1 << 20  # N*M above which the matmul form wins
+
+
+def _unpack_bits_bf16(x: jax.Array) -> jax.Array:
+    """[N, 8] uint32 → [N, 256] bf16 of {0, 1} bits."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (x[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(x.shape[0], 8 * 32).astype(jnp.bfloat16)
+
+
 def hamming_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
-    """[N, 8] uint32 × [M, 8] uint32 → [N, M] int32 Hamming distances."""
-    x = jax.lax.population_count(a[:, None, :] ^ b[None, :, :])
-    return jnp.sum(x, axis=-1).astype(jnp.int32)
+    """[N, 8] uint32 × [M, 8] uint32 → [N, M] int32 Hamming distances.
+
+    Two exact forms:
+    * small N·M — static word loop with an [N, M] int32 accumulator
+      (the broadcast ``popcount(a[:,None,:] ^ b[None,:,:]).sum(-1)``
+      form materializes [N, M, 8] intermediates that XLA does not fuse).
+    * large N·M (≥ 2²⁰ pairs, e.g. the [4096, 1024] fuse/tracking
+      matchers) — bit-unpack to {0,1} bf16 and ride the MXU:
+      d(a,b) = |a| + |b| − 2·a·bᵀ.  Counts ≤ 256 are exactly
+      representable in bf16 and the product accumulates in f32, so the
+      result is bit-identical to the popcount path (asserted in
+      tests/test_matching.py); HBM traffic drops from eight [N, M]
+      accumulation passes to one [N, 256]·[256, M] matmul.
+    """
+    N, M = a.shape[0], b.shape[0]
+    if N * M >= _MXU_THRESHOLD:
+        A = _unpack_bits_bf16(a)
+        B = _unpack_bits_bf16(b)
+        pa = jnp.sum(A, axis=1, dtype=jnp.float32)
+        pb = jnp.sum(B, axis=1, dtype=jnp.float32)
+        ab = jax.lax.dot_general(
+            A, B, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (pa[:, None] + pb[None, :] - 2.0 * ab).astype(jnp.int32)
+    acc = jnp.zeros((N, M), jnp.int32)
+    for k in range(a.shape[-1]):
+        x = a[:, k][:, None] ^ b[:, k][None, :]
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    return acc
 
 
 def hamming_pairwise(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -93,7 +93,8 @@ def fuse_points_into_kf(ms: M.MapState, kf, pt_mask, cam, cfg
 def make_mapping_fns(cfg: SlamConfig):
     cam = cam_mod.Camera.from_config(cfg.camera)
     L = cfg.capacity.local_ba_keyframes       # free-camera window cap
-    F = max(8, L // 2)                        # fixed-anchor cap
+    F = min(max(8, L // 2),                   # fixed-anchor cap
+            cfg.capacity.max_keyframes)       # (top_k bound at tiny K)
     P_loc = cfg.capacity.local_ba_points
     N = cfg.orb.n_features_padded
     sigma2 = np.array([cfg.orb.scale_factor ** (2 * l)
@@ -271,16 +272,66 @@ def make_mapping_fns(cfg: SlamConfig):
             (ms, jnp.int32(0), jnp.full((n_victims,), -1, jnp.int32)))
         return ms, n_culled, victims_out
 
+    def evict_keyframe_body(ms: M.MapState, current_kf: jax.Array,
+                            newest_frame_id: jax.Array
+                            ) -> Tuple[M.MapState, jax.Array]:
+        """Capacity-pressure eviction: free ONE slot by removing the most
+        redundant live keyframe, relaxing KeyFrameCulling's 0.9 gate —
+        the fixed-capacity analogue of the reference's map bounding
+        (local-map cap Tracking.cc:1384 + culling LocalMapping.cc:629 as
+        the partition-pruning policy, SURVEY §5).  Protected: the gauge
+        anchor (slot 0), the current reference, and keyframes from the
+        last second of video (recent ones anchor the live trajectory).
+        Returns (ms, victim) with victim = −1 when nothing is evictable."""
+        K = ms.K
+        kfm, lvl = ms.kf_mp, ms.kf_level
+        ok = (kfm >= 0) & ms.kf_kp_valid & ms.kf_valid[:, None]
+        mp_safe = jnp.where(ok, kfm, 0)
+        nl = cfg.orb.n_levels
+        hist = jnp.zeros((ms.P, nl), jnp.int32).at[
+            mp_safe, jnp.clip(lvl, 0, nl - 1)].add(ok.astype(jnp.int32))
+        cum = jnp.cumsum(hist, axis=1)
+        total = cum[mp_safe, jnp.clip(lvl + 1, 0, nl - 1)]
+        redundant = ok & (total - 1 >= 3)
+        n_tracked = jnp.sum(ok.astype(jnp.int32), axis=1)
+        frac = jnp.sum(redundant.astype(jnp.int32), axis=1).astype(
+            jnp.float32) / jnp.maximum(n_tracked.astype(jnp.float32), 1.0)
+
+        recent = ms.kf_frame_id >= newest_frame_id - jnp.int32(
+            max(int(cfg.camera.fps), 1))
+        cullable = (ms.kf_valid & (jnp.arange(K) != 0)
+                    & (jnp.arange(K) != current_kf) & ~recent)
+        # most-redundant wins; older keyframe breaks ties (the +1 offset
+        # keeps every cullable score positive so frac=0 stays evictable)
+        score = jnp.where(
+            cullable,
+            1.0 + frac - 1e-9 * ms.kf_frame_id.astype(jnp.float32), -1.0)
+        victim = jnp.argmax(score)
+        do = score[victim] > 0.0
+        out = ok[victim] & do
+        ms2 = M.remove_observations(ms, victim,
+                                    jnp.arange(N, dtype=jnp.int32), out)
+        children = ms.kf_parent == victim
+        kf_parent = jnp.where(children & do, ms.kf_parent[victim],
+                              ms2.kf_parent)
+        kf_valid = ms2.kf_valid.at[victim].set(
+            jnp.where(do, False, ms2.kf_valid[victim]))
+        ms2 = ms2._replace(kf_valid=kf_valid, kf_parent=kf_parent)
+        return ms2, jnp.where(do, victim, -1)
+
     local_ba = jax.jit(local_ba_body)
     cull_map_points = jax.jit(cull_map_points_body)
     cull_keyframes = jax.jit(cull_keyframes_body)
     fuse_into_kf = jax.jit(fuse_into_kf_body)
+    evict_keyframe = jax.jit(evict_keyframe_body)
     return MappingFns(
         local_ba=local_ba, cull_map_points=cull_map_points,
         cull_keyframes=cull_keyframes, fuse_into_kf=fuse_into_kf,
+        evict_keyframe=evict_keyframe,
         local_ba_body=local_ba_body,
         cull_map_points_body=cull_map_points_body,
         cull_keyframes_body=cull_keyframes_body,
+        evict_keyframe_body=evict_keyframe_body,
         fuse_into_kf_body=fuse_into_kf_body)
 
 

@@ -399,6 +399,18 @@ class LoopCloser:
          self.f_detect_step) = make_loop_fns(cfg, voc)
         self.db = db_mod.KeyFrameDB.empty(cfg.capacity.max_keyframes,
                                           voc.n_words)
+        # multi-device hosts: shard the [K, W] BoW matrix over the mesh
+        # and route detection through the partitioned matvec (SURVEY §2.4
+        # P6 "loop-closure candidate scoring sharded across the keyframe
+        # DB") — mirrors GbaManager's mesh routing (gba.py)
+        self.mesh = None
+        if jax.device_count() > 1:
+            from orbslam2_tpu.parallel.mesh import make_mesh
+            from orbslam2_tpu.parallel import db_shard
+            self.mesh = make_mesh()
+            self.db = db_shard.shard_db(self.mesh, self.db)
+            self.f_detect_step = self._sharded_detect_step(
+                self.f_detect_step)
         from orbslam2_tpu.runtime.gba import GbaManager
         self.gba = GbaManager(cfg)
         self.consistent_groups: List[Tuple[Set[int], int]] = []
@@ -410,6 +422,37 @@ class LoopCloser:
     def _split_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _sharded_detect_step(self, base):
+        """Wrap detect_step with mesh sharding constraints: the DB rows
+        stay partitioned over the data axis across calls, GSPMD runs the
+        [K, W] query matvec as per-device [K/D, W] partials, and only the
+        [K]-sized scores/cand_info are gathered (the lone collective per
+        query; cross-host this is the only DCN traffic)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from orbslam2_tpu.parallel.mesh import DATA_AXIS
+        row = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        rep = NamedSharding(self.mesh, P())
+
+        @jax.jit
+        def sharded_step(ms, db, kf):
+            db = db._replace(
+                bow=jax.lax.with_sharding_constraint(db.bow, row))
+            db2, vec, cand_info = base(ms, db, kf)
+            return (db2._replace(
+                        bow=jax.lax.with_sharding_constraint(db2.bow, row)),
+                    jax.lax.with_sharding_constraint(vec, rep),
+                    jax.lax.with_sharding_constraint(cand_info, rep))
+
+        return sharded_step
+
+    def reset_db(self) -> None:
+        """Fresh empty DB, re-sharded over the mesh when one exists."""
+        self.db = db_mod.KeyFrameDB.empty(self.cfg.capacity.max_keyframes,
+                                          self.voc.n_words)
+        if self.mesh is not None:
+            from orbslam2_tpu.parallel import db_shard
+            self.db = db_shard.shard_db(self.mesh, self.db)
 
     def add_keyframe(self, ms: M.MapState, kf: int) -> None:
         vec = self.f_bow(ms, jnp.int32(kf))

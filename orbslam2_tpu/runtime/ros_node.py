@@ -161,3 +161,49 @@ class RosRgbdNode:
             subs, queue_size=10, slop=0.1)
         sync.registerCallback(self.callback)
         rospy.spin()
+
+
+class RosMonoARNode:
+    """ros_mono_ar.cc (Test/Replay/ROS/ORB_SLAM2/src/AR/ros_mono_ar.cc:
+    1-169): monocular tracking + the AR demo — every tracked frame is
+    rendered with the anchored virtual cubes (ViewerAR's role), and the
+    two menu actions (Insert Cube / Clear All) anchor/drop cubes on
+    RANSAC-detected map planes (utils/ar.ArDemo).
+
+    ``callback`` returns the ANNOTATED frame (the reference hands the
+    image + pose to ViewerAR; headless consumers read ``last_ar_frame``
+    or an optional publisher hook).
+    """
+
+    def __init__(self, system, topic: str = "/camera/image_raw",
+                 cube_size: float = 0.05, publish_fn=None):
+        from orbslam2_tpu.utils.ar import ArDemo
+        self.system = system
+        self.topic = topic
+        self.demo = ArDemo(getattr(system, "engine", system),
+                           cube_size=cube_size)
+        self.publish_fn = publish_fn         # e.g. a rospy Publisher.publish
+        self.last_ar_frame: Optional[np.ndarray] = None
+
+    # menu actions (ViewerAR.cc:159-180)
+    def insert_cube(self) -> bool:
+        return self.demo.insert_cube()
+
+    def clear_cubes(self) -> None:
+        self.demo.clear()
+
+    def callback(self, msg) -> Optional[np.ndarray]:
+        gray = decode_image_msg(msg)
+        Tcw = self.system.track_monocular(gray, _stamp(msg))
+        out = self.demo.render(gray, Tcw)
+        self.last_ar_frame = out
+        if self.publish_fn is not None:
+            self.publish_fn(out)
+        return out
+
+    def spin(self):
+        import rospy
+        from sensor_msgs.msg import Image
+        rospy.init_node("orbslam2_tpu_mono_ar", anonymous=True)
+        rospy.Subscriber(self.topic, Image, self.callback, queue_size=1)
+        rospy.spin()

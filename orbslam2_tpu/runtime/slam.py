@@ -154,6 +154,7 @@ class SlamEngine:
     # --------------------------------------------------------- frame entry
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> Optional[np.ndarray]:
+        self._last_image = left          # FrameDrawer source (mImGray)
         pay = np.concatenate([
             np.ascontiguousarray(left, dtype=np.uint8).reshape(-1),
             np.ascontiguousarray(right, dtype=np.uint8).reshape(-1)])
@@ -161,13 +162,73 @@ class SlamEngine:
 
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
                    timestamp: float) -> Optional[np.ndarray]:
+        self._last_image = gray
         pay = (np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1),
                np.ascontiguousarray(depth, dtype=np.float32).reshape(-1))
         return self._track_common(pay, timestamp)
 
     def track_monocular(self, gray, timestamp: float):
+        self._last_image = gray
         pay = np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1)
         return self._track_common(pay, timestamp)
+
+    # ----------------------------------------------------- frame overlay
+    def _overlay_data(self):
+        """(xy_raw [N,2], valid [N], matched [N]) of the latest tracked
+        frame, or None before the first frame."""
+        fd = getattr(self, "last_fd", None)
+        if fd is None or self.last_assoc is None:
+            return None
+        matched = (np.asarray(self.last_assoc) >= 0)
+        if self.last_inlier is not None:
+            matched &= np.asarray(self.last_inlier)
+        return np.asarray(fd.xy_raw), np.asarray(fd.valid), matched
+
+    def frame_overlay(self) -> Optional[bytes]:
+        """FrameDrawer::DrawFrame analogue (src/FrameDrawer.cc:34-206):
+        the current gray frame annotated with keypoints (green = tracked
+        map-point inlier, red = unmatched) and the state text line,
+        encoded as PNG.  Composed lazily — the live viewer calls this at
+        its own poll rate, so the tracking hot path never pays for it."""
+        import io
+
+        from PIL import Image, ImageDraw
+        img = getattr(self, "_last_image", None)
+        ov = self._overlay_data()
+        if img is None or ov is None:
+            return None
+        xy, valid, matched = ov
+        im = Image.fromarray(np.clip(np.asarray(img), 0,
+                                     255).astype(np.uint8)).convert("RGB")
+        d = ImageDraw.Draw(im)
+        n_match = 0
+        for i in range(len(xy)):
+            if not valid[i]:
+                continue
+            x, y = float(xy[i, 0]), float(xy[i, 1])
+            if matched[i]:
+                n_match += 1
+                d.rectangle([x - 3, y - 3, x + 3, y + 3],
+                            outline=(0, 255, 0))
+            else:
+                d.ellipse([x - 1.5, y - 1.5, x + 1.5, y + 1.5],
+                          outline=(255, 80, 80))
+        if self.state == tracking.LOST:
+            text = "TRYING TO RELOCALIZE"
+        elif self.state != tracking.OK:
+            text = "WAITING FOR IMAGES" if self.state < 1 \
+                else "TRYING TO INITIALIZE"
+        else:
+            mode = ("LOCALIZATION" if self.localization_only else
+                    "SLAM MODE")
+            text = (f"{mode} | KFs: {self.n_kfs}, MPs: "
+                    f"{self.n_live_points}, Matches: {n_match}")
+        d.rectangle([0, im.height - 18, im.width, im.height],
+                    fill=(30, 30, 30))
+        d.text((6, im.height - 15), text, fill=(255, 255, 0))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
 
     def _decode(self, pay) -> frame_mod.FrameData:
         """Frontend for the rare host-decoded paths (init, reloc)."""
@@ -449,12 +510,12 @@ class SlamEngine:
         keyframe's tracked count (the stale ref_tracked would otherwise
         cascade an insert per frame)."""
         t = self.cfg.tracking
-        if not self._free_kf_slots:
+        if not self._free_kf_slots and not self._evict_for_capacity():
             if not self._capacity_warned:
                 warnings.warn(
                     "keyframe capacity exhausted "
-                    f"(max_keyframes={self.cfg.capacity.max_keyframes}); "
-                    "relying on culling to free slots — consider a larger "
+                    f"(max_keyframes={self.cfg.capacity.max_keyframes}) "
+                    "and no keyframe is evictable; consider a larger "
                     "capacity for this sequence", RuntimeWarning)
                 self._capacity_warned = True
             return False
@@ -487,6 +548,24 @@ class SlamEngine:
                 and self._mapping_queue_len() < 3)
 
     # ---------------------------------------------------- keyframe insert
+    def _evict_for_capacity(self) -> bool:
+        """At keyframe-capacity exhaustion, free one slot by evicting the
+        most redundant live keyframe (local_mapping.evict_keyframe_body —
+        the bounded-map policy).  Returns True when a slot was freed."""
+        if not hasattr(self, "_f_evict"):
+            from orbslam2_tpu.runtime import local_mapping as lm_mod
+            self._f_evict = lm_mod.make_mapping_fns(
+                self.cfg).evict_keyframe
+        ms2, victim_dev = self._f_evict(
+            self.ms, jnp.int32(self.ref_kf), jnp.int32(self.frame_id))
+        victim = int(victim_dev)
+        if victim < 0:
+            return False
+        self.ms = ms2
+        self._on_kfs_culled(ms2, [victim])   # rebases traj + frees slot
+        self.stats["kf_evicted"] = self.stats.get("kf_evicted", 0) + 1
+        return True
+
     def _take_kf_slot(self) -> int:
         slot = min(self._free_kf_slots)
         self._free_kf_slots.discard(slot)
@@ -625,11 +704,9 @@ class SlamEngine:
             self._culled_remap = {}
             self.trajectory = []        # mlRelativeFramePoses.clear()
         if self.loop_closer is not None:
-            from orbslam2_tpu.models import keyframe_db as db_mod
             lc = self.loop_closer
             lc.gba.abort()
-            lc.db = db_mod.KeyFrameDB.empty(cfg.capacity.max_keyframes,
-                                            lc.voc.n_words)
+            lc.reset_db()
             lc.consistent_groups = []
             lc.prev_loops = []
             lc.last_loop_kf = -1

@@ -239,7 +239,11 @@ class System:
         ms, db, counters = serialization.load_map(path)
         self.engine.ms = ms
         if db is not None and self.engine.loop_closer is not None:
-            self.engine.loop_closer.db = db
+            lc = self.engine.loop_closer
+            if lc.mesh is not None:
+                from orbslam2_tpu.parallel import db_shard
+                db = db_shard.shard_db(lc.mesh, db)
+            lc.db = db
         kf_valid = np.asarray(ms.kf_valid)
         self.engine.n_kfs = counters.get("n_kfs", int(kf_valid.sum()))
         self.engine.kf_ordinal = counters.get(

@@ -60,25 +60,31 @@ def make_slam_window_tracker(cfg: SlamConfig, window: int):
     th_local = float(cfg.tracking.local_map_tracking_threshold)
     min_ref = float(cfg.tracking.min_matches_ref_keyframe)
 
+    # payload = tuple of B per-frame flat buffers, device_put on frame
+    # ARRIVAL (windowed engine _push) so the ~0.6 MB/frame H2D rides the
+    # tunnel while the previous window computes — measured 49 ms/window
+    # inline vs free when overlapped (probe_dispatch_overhead.py); the
+    # stack happens inside the program where it fuses.
     if cfg.sensor == STEREO:
         frontend = frame_mod.make_frontend_stereo(cfg)
 
         def decode(payload, i):
-            imgs = payload.reshape(B, 2, H, W_img).astype(jnp.float32)
+            imgs = jnp.stack(payload).reshape(B, 2, H, W_img).astype(
+                jnp.float32)
             return frontend(imgs[i, 0], imgs[i, 1])
     elif cfg.sensor == RGBD:
         frontend = frame_mod.make_frontend_rgbd(cfg)
 
         def decode(payload, i):
-            gray_u8, depth = payload
-            g = gray_u8.reshape(B, H, W_img).astype(jnp.float32)
-            d = depth.reshape(B, H, W_img)
+            g = jnp.stack([p[0] for p in payload]).reshape(
+                B, H, W_img).astype(jnp.float32)
+            d = jnp.stack([p[1] for p in payload]).reshape(B, H, W_img)
             return frontend(g[i], d[i])
     else:
         frontend = frame_mod.make_frontend_mono(cfg)
 
         def decode(payload, i):
-            g = payload.reshape(B, H, W_img).astype(jnp.float32)
+            g = jnp.stack(payload).reshape(B, H, W_img).astype(jnp.float32)
             return frontend(g[i])
 
     @jax.jit
@@ -175,12 +181,14 @@ class WindowedSlamEngine(SlamEngine):
         H, W_img = self.cfg.camera.height, self.cfg.camera.width
         B = self.window
         if self.cfg.sensor == STEREO:
-            pay = np.zeros(B * 2 * H * W_img, np.uint8)
+            pay = tuple(np.zeros(2 * H * W_img, np.uint8)
+                        for _ in range(B))
         elif self.cfg.sensor == MONOCULAR:
-            pay = np.zeros(B * H * W_img, np.uint8)
+            pay = tuple(np.zeros(H * W_img, np.uint8) for _ in range(B))
         else:
-            pay = (np.zeros(B * H * W_img, np.uint8),
-                   np.zeros(B * H * W_img, np.float32))
+            pay = tuple((np.zeros(H * W_img, np.uint8),
+                         np.zeros(H * W_img, np.float32))
+                        for _ in range(B))
         N = self.cfg.orb.n_features_padded
         assoc = jnp.full((N,), -1, jnp.int32)
         inl = jnp.zeros((N,), bool)
@@ -198,23 +206,46 @@ class WindowedSlamEngine(SlamEngine):
     def track_stereo(self, left, right, timestamp: float):
         if self.state != tracking.OK:
             return super().track_stereo(left, right, timestamp)
-        pay = np.concatenate([
+        self._last_image = left
+        # device_put at ARRIVAL: the 0.6 MB/frame upload rides the tunnel
+        # asynchronously while the in-flight window computes (the inline
+        # transfer cost 49 ms/window, probe_dispatch_overhead.py)
+        pay = jax.device_put(np.concatenate([
             np.ascontiguousarray(left, dtype=np.uint8).reshape(-1),
-            np.ascontiguousarray(right, dtype=np.uint8).reshape(-1)])
+            np.ascontiguousarray(right, dtype=np.uint8).reshape(-1)]))
         return self._push(pay, timestamp)
 
     def track_rgbd(self, gray, depth, timestamp: float):
         if self.state != tracking.OK:
             return super().track_rgbd(gray, depth, timestamp)
-        pay = (np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1),
-               np.ascontiguousarray(depth, dtype=np.float32).reshape(-1))
+        self._last_image = gray
+        pay = (jax.device_put(
+                   np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1)),
+               jax.device_put(
+                   np.ascontiguousarray(depth,
+                                        dtype=np.float32).reshape(-1)))
         return self._push(pay, timestamp)
 
     def track_monocular(self, gray, timestamp: float):
         if self.state != tracking.OK:
             return super().track_monocular(gray, timestamp)
-        pay = np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1)
+        self._last_image = gray
+        pay = jax.device_put(
+            np.ascontiguousarray(gray, dtype=np.uint8).reshape(-1))
         return self._push(pay, timestamp)
+
+    def _overlay_data(self):
+        """Windowed engines keep FrameData on device; the overlay fetches
+        the last retired window's final row on demand (viewer poll rate,
+        not frame rate)."""
+        out = getattr(self, "_last_out", None)
+        if out is None:
+            return super()._overlay_data()
+        j = self.window - 1
+        matched = (np.asarray(out.last_assoc) >= 0) \
+            & np.asarray(out.last_inlier)
+        return (np.asarray(out.fds.xy_raw[j]),
+                np.asarray(out.fds.valid[j]), matched)
 
     def _push(self, pay, timestamp: float):
         self._buf.append((pay, timestamp))
@@ -282,6 +313,7 @@ class WindowedSlamEngine(SlamEngine):
         self._prev2_Tcw = None
         self._buf = []
         self._last_retired = None
+        self._last_out = None
         super()._auto_reset()
 
     def frame_poses(self):
@@ -290,11 +322,9 @@ class WindowedSlamEngine(SlamEngine):
 
     # ------------------------------------------------------------- window
     def _window_payload(self, buf):
-        if self.cfg.sensor in (STEREO, MONOCULAR):
-            return np.concatenate([p for p, _ in buf])
-        grays = np.concatenate([p[0] for p, _ in buf])
-        depths = np.concatenate([p[1] for p, _ in buf])
-        return (grays, depths)
+        # tuple of per-frame device buffers (already device_put at
+        # arrival); stacking happens inside the window program
+        return tuple(p for p, _ in buf)
 
     def _dispatch_window(self, buf):
         """Issue the window program from device-resident state; no fetch."""
@@ -404,6 +434,7 @@ class WindowedSlamEngine(SlamEngine):
         self.last_assoc = out.last_assoc
         self.last_inlier = out.last_inlier
         self._pending_counters = out.counters
+        self._last_out = out            # frame_overlay source
         self._last_retired = self.last_Tcw
 
     def _counter_args(self):

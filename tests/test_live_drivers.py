@@ -107,3 +107,23 @@ def test_uwb_fusion_log(tmp_path, rng):
     pos = np.array([x, y, z])
     for r, aid in zip((r1, r2, r3), (1, 2, 3)):
         assert abs(r - np.linalg.norm(anchors[aid] - pos)) < 0.5
+
+
+def test_uwb_bias_characterization():
+    """UWB/uwb_bias.cc: per ground-truth distance, average n valid
+    readings (>= 800 cm rejected) into (true, measured) rows."""
+    import io
+
+    import live
+    from orbslam2_tpu.utils.sensors import UwbNode
+
+    node = UwbNode(node_id=0, anchors={1: np.zeros(3)}, noise_m=0.03,
+                   seed=7)
+    buf = io.StringIO()
+    rows = live.run_uwb_bias(node, target_id=1,
+                             true_distances_cm=[100, 250, 400, -1, 999],
+                             n_measurements=50, out=buf)
+    assert len(rows) == 3                       # -1 stops the loop
+    for true_cm, avg_cm in rows:
+        assert abs(avg_cm - true_cm) < 3.0      # 3 cm sim noise, n=50
+    assert len(buf.getvalue().splitlines()) == 3

@@ -215,3 +215,21 @@ def test_rotation_consistency(rng):
     good_mask[bad] = False
     assert ok[good_mask].mean() > 0.95
     assert ok[bad].mean() < 0.35
+
+
+def test_hamming_mxu_form_bit_identical(rng):
+    """The matmul (MXU) Hamming form used for large N*M must be
+    bit-identical to the popcount reference at and around the routing
+    threshold (ops/hamming.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam2_tpu.ops import hamming
+
+    for (n, m) in [(64, 64), (1024, 1024), (4096, 1024)]:
+        a = jnp.asarray(rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2 ** 32, (m, 8), dtype=np.uint32))
+        ref = jnp.sum(jax.lax.population_count(
+            a[:, None, :] ^ b[None, :, :]), -1).astype(jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(hamming.hamming_matrix(a, b)), np.asarray(ref))

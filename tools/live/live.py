@@ -139,6 +139,42 @@ def run_uwb(ird_source, settings: Optional[str], anchors: dict,
     return n
 
 
+def run_uwb_bias(uwb_node, target_id: int, true_distances_cm,
+                 n_measurements: int = 400, reject_above_cm: float = 800.0,
+                 out=None):
+    """UWB/uwb_bias.cc (Test/Live/UWB/uwb_bias.cc): bias characterization
+    — for each known ground-truth distance, collect ``n_measurements``
+    valid readings from the target node (readings ≥ reject_above_cm are
+    discarded, :36-40), average them, and emit (true_cm, measured_cm)
+    pairs for offline bias fitting (matlab/uwbIntegration.m consumes
+    these).
+
+    ``true_distances_cm``: iterable of ground-truth distances; the
+    reference reads them interactively (cin >> distance, -1 stops).
+    Returns the list of (true_cm, average_measured_cm).
+    """
+    rows = []
+    for true_cm in true_distances_cm:
+        if true_cm == -1:                        # interactive stop token
+            break
+        # place the node true_cm away from the target anchor along x
+        anchor = np.asarray(uwb_node.anchors[target_id], np.float64)
+        pos = anchor + np.array([true_cm / 100.0, 0.0, 0.0])
+        readings = []
+        while len(readings) < n_measurements:
+            for r in uwb_node.multi_range_with(pos):
+                if r.node_id != target_id:
+                    continue
+                cm = r.distance_m * 100.0
+                if cm < reject_above_cm:         # uwb_bias.cc:36
+                    readings.append(cm)
+        avg = float(np.mean(readings[:n_measurements]))
+        rows.append((true_cm, avg))
+        if out is not None:
+            out.write(f"{true_cm} {avg:.2f}\n")
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
