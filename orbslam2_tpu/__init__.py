@@ -16,4 +16,16 @@ Layer map (mirrors reference SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# f32 matmuls/einsums MUST run at full precision on TPU: the default
+# bf16-input MXU path destroys the LM normal equations and projection
+# geometry — measured on-chip: the scale-circuit drift explodes 1.1 m →
+# 13 m within 250 frames at default precision while the identical run is
+# clean on CPU and at "highest".  The deliberately-bf16 kernels (the MXU
+# Hamming form) pass bf16 operands explicitly and are unaffected.
+# Respect an explicit user setting.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from orbslam2_tpu.config import SlamConfig  # noqa: F401

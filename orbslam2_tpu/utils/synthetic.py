@@ -142,17 +142,23 @@ class World:
 
 
 def _make_texture(rng: np.random.Generator, size: int = 512,
-                  contrast: float = 70.0, base: float = 110.0) -> np.ndarray:
+                  contrast: float = 70.0, base: float = 110.0,
+                  persistence: float = 0.55) -> np.ndarray:
     """Multi-octave value noise: smooth large structure + sharp detail so
     FAST finds corners at every scale."""
     tex = np.zeros((size, size), np.float32)
     amp = 1.0
-    for cells in (8, 32, 128, 256):
+    octaves = [8, 32, 128, 256]
+    c = 512
+    while c <= size // 4:          # finer octaves for large textures
+        octaves.append(c)          # (size 512 keeps the original four)
+        c *= 2
+    for cells in octaves:
         coarse = rng.uniform(-1.0, 1.0, (cells, cells)).astype(np.float32)
         reps = size // cells
         up = np.kron(coarse, np.ones((reps, reps), np.float32))
         tex += amp * up
-        amp *= 0.55
+        amp *= persistence
     tex = base + contrast * tex / np.abs(tex).max()
     return np.clip(tex, 0.0, 255.0)
 
@@ -308,4 +314,78 @@ def orbit_trajectory(n: int, radius: float = 6.0, z_center: float = 12.0,
         a = 2.0 * np.pi * frac * i / n
         t = np.array([radius * np.sin(a), 0.0, z_center - radius * np.cos(a)])
         poses.append(look_ahead_pose(t, yaw=-a))
+    return poses
+
+
+def room_world(rng: np.random.Generator, half: float = 34.0,
+               tex_size: int = 512) -> World:
+    """Closed rectangular room (4 inward walls + ground + ceiling), each
+    plane with its own independently drawn texture — the map-scale
+    circuit world: distinct appearance per wall keeps place recognition
+    honest on a loop-rich tour."""
+    def plane(p0, n, eu, scale=20.0):
+        n = np.asarray(n, np.float64)
+        n = n / np.linalg.norm(n)
+        eu = np.asarray(eu, np.float64)
+        eu = eu - n * (eu @ n)
+        eu /= np.linalg.norm(eu)
+        ev = np.cross(n, eu)
+        # persistence 0.7: keep the fine octaves strong enough for FAST
+        # at 5-15 m viewing distance (0.55 decays the corner-scale octave
+        # to ~9% amplitude — below the detection threshold)
+        return Plane(p0=np.asarray(p0, np.float64), n=n, eu=eu, ev=ev,
+                     tex=np.asarray(_make_texture(rng, tex_size,
+                                                  persistence=0.7),
+                                    np.float32), scale=scale)
+
+    return World(planes=[
+        plane([0.0, 3.0, 0.0], [0.0, -1.0, 0.0], [1.0, 0.0, 0.0]),   # ground
+        plane([0.0, -4.0, 0.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]),   # ceiling
+        plane([-half, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]),  # x = −W
+        plane([half, 0.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]),  # x = +W
+        plane([0.0, 0.0, -half], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]),  # z = −W
+        plane([0.0, 0.0, half], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]),  # z = +W
+    ])
+
+
+def circuit_trajectory(n: int, half: float = 28.0, corner: float = 8.0,
+                       laps: float = 1.0, yaw_out: float = 0.0,
+                       pitch: float = 0.0) -> List[np.ndarray]:
+    """Rounded-rectangle tour in the x-z plane (counter-clockwise), the
+    camera looking along the path tangent — returns to its start after
+    each lap, closing a loop late in the run (the KITTI-00-like circuit
+    for the map-scale demo).
+
+    ``yaw_out`` rotates the view toward the OUTER wall (radians; the
+    forward-tangent view in a large room faces walls beyond stereo
+    range — angling outward keeps near texture in frame), ``pitch``
+    tilts down toward the ground."""
+    a = half - corner
+    L = 2.0 * a
+    quarter = 0.5 * np.pi * corner
+    per = 4.0 * (L + quarter)
+
+    def at(s):
+        s = s % per
+        leg = s // (L + quarter)
+        u = s - leg * (L + quarter)
+        # leg 0 starts at (−a, −half) heading +x (yaw π/2); each leg is
+        # one straight side then one quarter arc with yaw DECREASING
+        phi0 = np.pi / 2 - leg * np.pi / 2
+        starts = [(-a, -half), (half, -a), (a, half), (-half, a)]
+        dirs = [(1.0, 0.0), (0.0, 1.0), (-1.0, 0.0), (0.0, -1.0)]
+        centers = [(a, -a), (a, a), (-a, a), (-a, -a)]
+        x0, z0 = starts[int(leg)]
+        dx, dz = dirs[int(leg)]
+        if u <= L:                                   # straight stretch
+            return x0 + dx * u, z0 + dz * u, phi0
+        phi = phi0 - (u - L) / corner                # quarter turn
+        cx, cz = centers[int(leg)]
+        return (cx + corner * np.cos(phi), cz - corner * np.sin(phi), phi)
+
+    poses = []
+    for i in range(n):
+        x, z, yaw = at(per * laps * i / n)
+        poses.append(look_ahead_pose(np.array([x, 0.0, z]),
+                                     yaw=yaw + yaw_out, pitch=pitch))
     return poses

@@ -34,7 +34,8 @@ import numpy as np
 def run_proxy_slam(frames: List[Tuple[np.ndarray, np.ndarray]],
                    cam, n_features: int = 1000,
                    kf_every: int = 6, min_inliers: int = 120,
-                   max_bank: int = 6000) -> List[Optional[np.ndarray]]:
+                   max_bank: int = 6000,
+                   max_jump_m: float = 2.0) -> List[Optional[np.ndarray]]:
     """Stereo frames [(left_u8, right_u8), ...] → per-frame Tcw (4×4) or
     None where tracking failed.  First frame defines the world origin."""
     import cv2
@@ -95,10 +96,18 @@ def run_proxy_slam(frames: List[Tuple[np.ndarray, np.ndarray]],
                     cv2.solvePnP(obj[inl], img[inl], K, None, rvec, tvec,
                                  useExtrinsicGuess=True,
                                  flags=cv2.SOLVEPNP_ITERATIVE)
-                    Tcw = _T_from_rt(rvec, tvec)
-                    rvec_prev, tvec_prev = rvec.copy(), tvec.copy()
-                    ok = True
-                    n_inl = len(inl)
+                    T_new = _T_from_rt(rvec, tvec)
+                    # motion gate: a camera cannot teleport between
+                    # frames — reject implausible solves instead of
+                    # poisoning the bank (the reference goes LOST on
+                    # inlier collapse, Tracking.h:82-88)
+                    C_new = -T_new[:3, :3].T @ T_new[:3, 3]
+                    C_old = -Tcw[:3, :3].T @ Tcw[:3, 3]
+                    if np.linalg.norm(C_new - C_old) <= max_jump_m:
+                        Tcw = T_new
+                        rvec_prev, tvec_prev = rvec.copy(), tvec.copy()
+                        ok = True
+                        n_inl = len(inl)
         if not ok:
             poses.append(None)
             continue
