@@ -174,6 +174,12 @@ class CapacityConfig:
     # instead of all P map points (the reference's frustum+grid pruning,
     # Tracking::SearchLocalPoints) — bounds the per-frame Hamming matrix
     track_candidates: int = 4096
+    # SearchInNeighbors fuse candidate pool: the covisible
+    # neighbourhood's in-frustum points, compacted before the [C, N]
+    # matcher.  Local neighbourhoods run 1-3k points at the eval scales;
+    # 2048 halves the fuse matcher traffic (the reference fuses against
+    # every neighbourhood point — bounded here like local_ba_points)
+    fuse_candidates: int = 2048
     # covisible neighbours searched by CreateNewMapPoints
     # (LocalMapping.cc:211: nn=10 stereo/RGBD, 20 mono)
     triangulation_neighbors: int = 10

@@ -36,7 +36,16 @@ class KeyFrameDB(NamedTuple):
         return self._replace(valid=self.valid.at[kf].set(False))
 
 
-CAND_POOL = 32  # score-gated candidates entering group accumulation
+CAND_POOL = 32  # min score-gated candidates entering group accumulation
+
+
+def _cand_pool(K: int) -> int:
+    """Pool size scaled with map capacity (ADVICE r4: at large K a
+    candidate's group-mates may fall outside a fixed 32-slot pool and
+    lose accumulated score vs KeyFrameDatabase.cc, which accumulates
+    over ALL word-sharing keyframes).  K/8 keeps the [C, K] gather
+    bounded while covering the realistic word-sharing set."""
+    return min(max(CAND_POOL, K // 8), K)
 
 
 def group_accumulated_scores(cscore: jax.Array, w_cand: jax.Array,
@@ -93,7 +102,7 @@ def detect_candidates(
     ok = ok & (scores >= min_score)
 
     # bounded pool: top-C individual scores among the gated candidates
-    C = min(CAND_POOL, K)
+    C = _cand_pool(K)
     cscore, cids = jax.lax.top_k(jnp.where(ok, scores, -1.0), C)
     cok = cscore > 0
     w_rows = M.covisibility_rows(ms, jnp.where(cok, cids, 0))  # [C, K]

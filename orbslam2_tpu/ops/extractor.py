@@ -174,7 +174,8 @@ def keypoint_angles(level_img: jax.Array, xy: jax.Array) -> jax.Array:
     r = pattern_mod.HALF_PATCH
     patches = sampling.extract_patches(
         level_img, xy[:, 0], xy[:, 1], r, r).reshape(-1, 961)
-    m = patches @ jnp.asarray(_moment_kernels())     # [cap, 2] = m10, m01
+    m = jnp.matmul(patches, jnp.asarray(_moment_kernels()),
+                   precision=jax.lax.Precision.DEFAULT)  # [cap, 2]
     return jnp.arctan2(m[:, 1], m[:, 0])
 
 

@@ -50,7 +50,8 @@ def hamming_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
         pb = jnp.sum(B, axis=1, dtype=jnp.float32)
         ab = jax.lax.dot_general(
             A, B, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)  # {0,1} ops: exact
         return (pa[:, None] + pb[None, :] - 2.0 * ab).astype(jnp.int32)
     acc = jnp.zeros((N, M), jnp.int32)
     for k in range(a.shape[-1]):

@@ -48,8 +48,12 @@ def resize_bilinear(img: jax.Array, h2: int, w2: int) -> jax.Array:
     h1, w1 = img.shape[-2], img.shape[-1]
     Ry = jnp.asarray(_resize_matrix(h2, h1))       # [h2, h1]
     Rx = jnp.asarray(_resize_matrix(w2, w1))       # [w2, w1]
-    out = jnp.einsum("ah,...hw->...aw", Ry, img)
-    return jnp.einsum("bw,...aw->...ab", Rx, out)
+    # DEFAULT (bf16-input) precision: pixel resize to u8-level accuracy,
+    # same quantization as the reference's u8 cv::resize (the framework
+    # default is "highest" for geometry, orbslam2_tpu/__init__.py)
+    P = jax.lax.Precision.DEFAULT
+    out = jnp.einsum("ah,...hw->...aw", Ry, img, precision=P)
+    return jnp.einsum("bw,...aw->...ab", Rx, out, precision=P)
 
 
 def build_pyramid(img: jax.Array, n_levels: int, scale_factor: float

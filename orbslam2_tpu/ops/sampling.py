@@ -23,6 +23,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# pixel-domain one-hot matmuls are exact at DEFAULT (bf16-input) MXU
+# precision to u8 quantization: one-hot factors are exactly 0/1 and
+# accumulation is f32 — opting out of the framework-wide "highest"
+# default (orbslam2_tpu/__init__.py) keeps the frontend on the fast path
+_PIX = jax.lax.Precision.DEFAULT
+
 
 def _onehot_rows(idx: jax.Array, size: int, dtype=jnp.float32) -> jax.Array:
     """[..., k] int32 indices → [..., k, size] one-hot (out-of-range rows
@@ -48,8 +54,8 @@ def extract_patches(img: jax.Array, cx: jax.Array, cy: jax.Array,
     cidx = cxc[:, None] + jnp.arange(-half_w, half_w + 1)[None, :]   # [n, C]
     R = _onehot_rows(ridx, h, img.dtype)            # [n, R, H]
     C = _onehot_rows(cidx, w, img.dtype)            # [n, C, W]
-    strips = jnp.einsum("nrh,hw->nrw", R, img)      # [n, R, W]  (MXU)
-    return jnp.einsum("nrw,ncw->nrc", strips, C)    # [n, R, C]  (MXU)
+    strips = jnp.einsum("nrh,hw->nrw", R, img, precision=_PIX)      # [n, R, W]  (MXU)
+    return jnp.einsum("nrw,ncw->nrc", strips, C, precision=_PIX)    # [n, R, C]  (MXU)
 
 
 def extract_windows(img: jax.Array, cx: jax.Array, cy: jax.Array,
@@ -70,7 +76,7 @@ def extract_windows(img: jax.Array, cx: jax.Array, cy: jax.Array,
     c_i = jax.lax.broadcasted_iota(jnp.int32, (n_shifts, cols,
                                                cols + n_shifts - 1), 2)
     sel = (c_i == s_i + j_i).astype(img.dtype)
-    return jnp.einsum("nrc,sjc->nsrj", wide, sel)
+    return jnp.einsum("nrc,sjc->nsrj", wide, sel, precision=_PIX)
 
 
 def sample_points(patches: jax.Array, px: jax.Array, py: jax.Array
@@ -85,5 +91,5 @@ def sample_points(patches: jax.Array, px: jax.Array, py: jax.Array
     pxc = jnp.clip(px, 0, C - 1)
     Pr = _onehot_rows(pyc, R, patches.dtype)        # [n, S, R]
     Pc = _onehot_rows(pxc, C, patches.dtype)        # [n, S, C]
-    t = jnp.einsum("nsr,nrc->nsc", Pr, patches)
-    return jnp.einsum("nsc,nsc->ns", t, Pc)
+    t = jnp.einsum("nsr,nrc->nsc", Pr, patches, precision=_PIX)
+    return jnp.einsum("nsc,nsc->ns", t, Pc, precision=_PIX)

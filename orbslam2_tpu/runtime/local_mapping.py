@@ -47,7 +47,7 @@ def fuse_points_into_kf(ms: M.MapState, kf, pt_mask, cam, cfg
     Hamming matrix, so cost is [C, N] not [P, N].
     Returns (ms, n_merged)."""
     N = ms.N
-    C = min(cfg.capacity.track_candidates, ms.P)
+    C = min(cfg.capacity.fuse_candidates, ms.P)
     Tcw = ms.kf_pose[kf]
     normals = ms.mp_normal()
     vis, _, _, _, _ = cam_mod.in_frustum(

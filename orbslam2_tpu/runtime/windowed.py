@@ -437,6 +437,17 @@ class WindowedSlamEngine(SlamEngine):
         self._last_out = out            # frame_overlay source
         self._last_retired = self.last_Tcw
 
+    def _mapper_idle(self) -> bool:
+        """LocalMapping::AcceptKeyFrames semantics for the windowed
+        engine: a dispatched-but-unretired mapping program IS the busy
+        mapping thread (the base engine's always-idle answer let c1b
+        fire every window and inflated keyframe cadence ~20% beyond the
+        reference's throttle)."""
+        return not getattr(self, "_deferred_stats", None)
+
+    def _mapping_queue_len(self) -> int:
+        return len(getattr(self, "_deferred_stats", None) or [])
+
     def _counter_args(self):
         c = getattr(self, "_pending_counters", None)
         if c is None:
