@@ -31,6 +31,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from orbslam2_tpu.ops import smallmat as sm
 from orbslam2_tpu.ops.pose_opt import CHI2_MONO, CHI2_STEREO
 from orbslam2_tpu.utils import camera as cam_mod
 from orbslam2_tpu.utils import lie
@@ -58,7 +59,7 @@ def _residuals_jacobians(cam: cam_mod.Camera, poses: jax.Array,
     T = poses[prob.cam_i]                       # [O, 4, 4]
     R = T[:, :3, :3]
     p = points[prob.pt_i]
-    pc = jnp.einsum("oij,oj->oi", R, p) + T[:, :3, 3]
+    pc = sm.matvec(R, p) + T[:, :3, 3]
     x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
     z_safe = jnp.where(z < 1e-6, 1e-6, z)
     invz = 1.0 / z_safe
@@ -84,9 +85,9 @@ def _residuals_jacobians(cam: cam_mod.Camera, poses: jax.Array,
         [-lie.hat(pc),
          jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))],
         axis=-1)
-    J_cam = -(dproj @ dpc_dxi)                  # [O, 3, 6]
+    J_cam = -sm.bmm(dproj, dpc_dxi)             # [O, 3, 6]
     # landmark: dpc/dp = R
-    J_pt = -(dproj @ R)                         # [O, 3, 3]
+    J_pt = -sm.bmm(dproj, R)                    # [O, 3, 3]
     return e, J_cam, J_pt, is_stereo, z < 1e-6
 
 
@@ -94,8 +95,7 @@ def _residuals_only(cam: cam_mod.Camera, poses: jax.Array,
                     points: jax.Array, prob: BAProblem):
     """Projection residuals without Jacobians (LM trial evaluation)."""
     T = poses[prob.cam_i]
-    pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], points[prob.pt_i]) \
-        + T[:, :3, 3]
+    pc = sm.matvec(T[:, :3, :3], points[prob.pt_i]) + T[:, :3, 3]
     x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
     invz = 1.0 / jnp.where(z < 1e-6, 1e-6, z)
     u = cam.fx * x * invz + cam.cx
@@ -199,20 +199,53 @@ def bundle_adjust(
             Jc_w = Jc * w[:, None, None]
             Jp_w = Jp * w[:, None, None]
 
+            O = prob.cam_i.shape[0]
+            # Segment sums as ONE-HOT MATMULS where the [O, P] indicator
+            # fits: TPU scatter-add serializes on potentially-colliding
+            # indices — at the local-BA shapes (O=16k, P=2k) the five
+            # scatters cost 1.9 ms/linearize vs 0.2 ms for the matmul
+            # form (probe_lm).  Giant problems (GBA chunks: O·P ≈ 2G)
+            # keep the scatter path — there the indicator would not fit.
+            use_onehot = solver == "dense" and O * P <= (1 << 26)
+            if use_onehot:
+                HP = jax.lax.Precision.HIGHEST
+                oh_cam = (cam_slot[:, None]
+                          == jnp.arange(C)[None, :]).astype(poses.dtype)
+                rhs_c = jnp.concatenate(
+                    [sm.outer_acc(Jc_w, Jc).reshape(O, 36),
+                     sm.tmatvec(Jc_w, e)], axis=1)          # [O, 42]
+                out_c = allsum(jnp.einsum("oc,ok->ck", oh_cam, rhs_c,
+                                          precision=HP))
+                Hcc = out_c[:, :36].reshape(C, 6, 6)
+                g_c = out_c[:, 36:]
+                oh_pt = (prob.pt_i[:, None]
+                         == jnp.arange(P)[None, :]).astype(poses.dtype)
+                cpl = sm.outer_acc(Jc_w, Jp)                # [O, 6, 3]
+                cpl_blk = (oh_cam[:, :, None]
+                           * cpl.reshape(O, 1, 18)).reshape(O, C * 18)
+                rhs_p = jnp.concatenate(
+                    [sm.outer_acc(Jp_w, Jp).reshape(O, 9),
+                     sm.tmatvec(Jp_w, e), cpl_blk], axis=1)
+                out_p = jnp.einsum("op,ok->pk", oh_pt, rhs_p, precision=HP)
+                Hpp = out_p[:, :9].reshape(P, 3, 3)
+                g_p = out_p[:, 9:12]
+                coup = out_p[:, 12:].reshape(P, C, 6, 3)
+                return (Hcc, Hpp, g_c, g_p, coup), rho_total(e, is_s)
+
             Hcc = allsum(jnp.zeros((C + 1, 6, 6), poses.dtype).at[
-                cam_slot].add(jnp.einsum("ori,orj->oij", Jc_w, Jc))[:C])
+                cam_slot].add(sm.outer_acc(Jc_w, Jc))[:C])
             Hpp = jnp.zeros((P, 3, 3), poses.dtype).at[prob.pt_i].add(
-                jnp.einsum("ori,orj->oij", Jp_w, Jp))
+                sm.outer_acc(Jp_w, Jp))
             g_c = allsum(jnp.zeros((C + 1, 6), poses.dtype).at[
-                cam_slot].add(jnp.einsum("ori,or->oi", Jc_w, e))[:C])
+                cam_slot].add(sm.tmatvec(Jc_w, e))[:C])
             g_p = jnp.zeros((P, 3), poses.dtype).at[prob.pt_i].add(
-                jnp.einsum("ori,or->oi", Jp_w, e))
+                sm.tmatvec(Jp_w, e))
             if solver == "dense":
                 coup = jnp.zeros((P, C + 1, 6, 3), poses.dtype).at[
                     prob.pt_i, cam_slot].add(
-                    jnp.einsum("ori,orj->oij", Jc_w, Jp))[:, :C]
+                    sm.outer_acc(Jc_w, Jp))[:, :C]
             else:
-                coup = jnp.einsum("ori,orj->oij", Jc_w, Jp)   # a_obs [O,6,3]
+                coup = sm.outer_acc(Jc_w, Jp)                 # a_obs [O,6,3]
                 free_obs = (prob.cam_i < C)
                 if fix_first_free:
                     free_obs = free_obs & (prob.cam_i != 0)
@@ -298,7 +331,7 @@ def _schur_solve_dense(Ucp, Hcc_d, Hpp_inv, g_c, g_p,
     """Materialized Schur complement + Cholesky (local-BA path)."""
     # Schur: S = Hcc − Σ_p U_p Hpp⁻¹ U_pᵀ ; r = g_c − Σ_p U_p Hpp⁻¹ g_p
     U = Ucp.reshape(P, C * 6, 3)
-    UHinv = jnp.einsum("pij,pjk->pik", U, Hpp_inv)      # [P, 6C, 3]
+    UHinv = sm.bmm(U, Hpp_inv)                          # [P, 6C, 3]
     S = _block_diag_embed(Hcc_d, C) - jnp.einsum(
         "pik,pjk->ij", UHinv, U)
     r = g_c.reshape(C * 6) - jnp.einsum("pik,pk->i", UHinv, g_p)
@@ -319,8 +352,8 @@ def _schur_solve_dense(Ucp, Hcc_d, Hpp_inv, g_c, g_p,
     dc_blocks = dc.reshape(C, 6)
 
     # back-substitute landmarks: δp = Hpp⁻¹(−g_p − Uᵀ δc)
-    Ut_dc = jnp.einsum("pcij,ci->pj", Ucp, dc_blocks)
-    dp = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - Ut_dc)
+    Ut_dc = jnp.sum(Ucp * dc_blocks[None, :, :, None], axis=(1, 2))
+    dp = sm.matvec(Hpp_inv, -g_p - Ut_dc)
     return dc_blocks, dp
 
 
@@ -342,26 +375,26 @@ def _schur_solve_cg(a_obs, Hcc_d, Hpp_inv, g_c, g_p, prob, cam_slot,
     def schur_matvec(x):                                  # x: [C, 6]
         xo = x[jnp.where(prob.cam_i < C, prob.cam_i, 0)]  # [O, 6]
         y = jnp.zeros((P, 3), dtype).at[prob.pt_i].add(
-            jnp.einsum("oij,oi->oj", a_obs, xo))          # Uᵀ x
-        z = jnp.einsum("pij,pj->pi", Hpp_inv, y)          # Hpp⁻¹ Uᵀ x
+            sm.vecmat(xo, a_obs))                         # Uᵀ x
+        z = sm.matvec(Hpp_inv, y)                         # Hpp⁻¹ Uᵀ x
         out = allsum(jnp.zeros((C + 1, 6), dtype).at[cam_slot].add(
-            jnp.einsum("oij,oj->oi", a_obs, z[prob.pt_i]))[:C])
-        Sx = jnp.einsum("cij,cj->ci", Hcc_d, x) - out
+            sm.matvec(a_obs, z[prob.pt_i]))[:C])
+        Sx = sm.matvec(Hcc_d, x) - out
         if fix_first_free:
             Sx = Sx.at[0].set(x[0])
         return Sx
 
     # rhs = −(g_c − U Hpp⁻¹ g_p)
-    zp = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
+    zp = sm.matvec(Hpp_inv, g_p)
     Uz = allsum(jnp.zeros((C + 1, 6), dtype).at[cam_slot].add(
-        jnp.einsum("oij,oj->oi", a_obs, zp[prob.pt_i]))[:C])
+        sm.matvec(a_obs, zp[prob.pt_i]))[:C])
     rhs = -(g_c - Uz)
     if fix_first_free:
         rhs = rhs.at[0].set(0.0)
 
     # exact block diagonal of S for the preconditioner
-    diagS_obs = jnp.einsum("oij,ojk,olk->oil", a_obs, Hpp_inv[prob.pt_i],
-                           a_obs)                          # [O, 6, 6]
+    diagS_obs = sm.bmm(sm.bmm(a_obs, Hpp_inv[prob.pt_i]),
+                       jnp.swapaxes(a_obs, -1, -2))        # [O, 6, 6]
     diagS = Hcc_d - allsum(jnp.zeros((C + 1, 6, 6), dtype).at[cam_slot].add(
         diagS_obs)[:C])
     if fix_first_free:
@@ -369,7 +402,7 @@ def _schur_solve_cg(a_obs, Hcc_d, Hpp_inv, g_c, g_p, prob, cam_slot,
     Minv = _inv6x6(diagS + 1e-6 * jnp.eye(6, dtype=dtype))
 
     def precond(r):
-        return jnp.einsum("cij,cj->ci", Minv, r)
+        return sm.matvec(Minv, r)
 
     x0 = jnp.zeros((C, 6), dtype)
     r0 = rhs
@@ -394,8 +427,8 @@ def _schur_solve_cg(a_obs, Hcc_d, Hpp_inv, g_c, g_p, prob, cam_slot,
     # back-substitute landmarks through the same per-obs blocks
     xo = dc_blocks[jnp.where(prob.cam_i < C, prob.cam_i, 0)]
     Ut_dc = jnp.zeros((P, 3), dtype).at[prob.pt_i].add(
-        jnp.einsum("oij,oi->oj", a_obs, xo))
-    dp = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - Ut_dc)
+        sm.vecmat(xo, a_obs))
+    dp = sm.matvec(Hpp_inv, -g_p - Ut_dc)
     return dc_blocks, dp
 
 
@@ -407,11 +440,12 @@ def _inv6x6(A: jax.Array) -> jax.Array:
     A21 = A[..., 3:, :3]
     A22 = A[..., 3:, 3:]
     A11i = _inv3x3(A11)
-    S22 = A22 - A21 @ A11i @ A12          # Schur of the 2×2 block system
+    S22 = A22 - sm.bmm(sm.bmm(A21, A11i), A12)   # Schur of the block system
     S22i = _inv3x3(S22)
-    B12 = -A11i @ A12 @ S22i
-    B11 = A11i - B12 @ A21 @ A11i
-    B21 = -S22i @ A21 @ A11i
+    A21_A11i = sm.bmm(A21, A11i)
+    B12 = -sm.bmm(sm.bmm(A11i, A12), S22i)
+    B11 = A11i - sm.bmm(B12, A21_A11i)
+    B21 = -sm.bmm(S22i, A21_A11i)
     top = jnp.concatenate([B11, B12], axis=-1)
     bot = jnp.concatenate([B21, S22i], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from orbslam2_tpu.config import OptimizerConfig
+from orbslam2_tpu.ops import smallmat as sm
 from orbslam2_tpu.utils import camera as cam_mod
 from orbslam2_tpu.utils import lie
 
@@ -41,7 +42,10 @@ def _residuals_jac(cam: cam_mod.Camera, Tcw: jax.Array, obs: PoseObs):
     convention T ← exp(ξ)·T).  Third row is the stereo u_r edge, zeroed for
     monocular observations."""
     R, t = lie.mat_to_rt(Tcw)
-    pc = obs.pts_w @ R.T + t
+    # VPU broadcast form of pts @ Rᵀ (exact f32, precision-flag-free —
+    # ops/smallmat.py); this evaluation sits inside the 40-iteration LM
+    # scan and runs up to 3× per tracked frame
+    pc = jnp.sum(obs.pts_w[:, None, :] * R[None, :, :], axis=-1) + t
     x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
     z_safe = jnp.where(z < 1e-6, 1e-6, z)
     invz = 1.0 / z_safe
@@ -67,7 +71,7 @@ def _residuals_jac(cam: cam_mod.Camera, Tcw: jax.Array, obs: PoseObs):
     # d pc / d ξ = [ -[pc]× | I ]
     dpc = jnp.concatenate([-lie.hat(pc), jnp.broadcast_to(
         jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))], axis=-1)
-    J = -(dproj @ dpc)                                   # [N, 3, 6]
+    J = -sm.bmm(dproj, dpc)                              # [N, 3, 6]
     behind = z < 1e-6
     return e, J, is_stereo, behind
 

@@ -18,6 +18,7 @@ import numpy as np
 from orbslam2_tpu.config import SlamConfig
 from orbslam2_tpu.models import map_state as M
 from orbslam2_tpu.ops import matching
+from orbslam2_tpu.ops import smallmat as sm
 from orbslam2_tpu.utils import camera as cam_mod
 from orbslam2_tpu.utils import lie
 
@@ -46,9 +47,9 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, uv1: jax.Array,
     A = jnp.stack(rows, axis=1)                      # [N, 4, 4]
     B = A[:, :, :3]
     b = -A[:, :, 3]
-    BtB = jnp.einsum("nij,nik->njk", B, B)
-    Btb = jnp.einsum("nij,ni->nj", B, b)
-    return jnp.einsum("nij,nj->ni", _inv3x3(BtB), Btb)
+    BtB = sm.outer_acc(B, B)
+    Btb = sm.tmatvec(B, b)
+    return sm.matvec(_inv3x3(BtB), Btb)
 
 
 class TriangulationResult(NamedTuple):

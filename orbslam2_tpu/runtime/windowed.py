@@ -439,14 +439,29 @@ class WindowedSlamEngine(SlamEngine):
 
     def _mapper_idle(self) -> bool:
         """LocalMapping::AcceptKeyFrames semantics for the windowed
-        engine: a dispatched-but-unretired mapping program IS the busy
+        engine: a mapping program still EXECUTING on device is the busy
         mapping thread (the base engine's always-idle answer let c1b
         fire every window and inflated keyframe cadence ~20% beyond the
-        reference's throttle)."""
-        return not getattr(self, "_deferred_stats", None)
+        reference's throttle).  Busy-ness is polled from the stats
+        future (`is_ready`), not from the retire bookkeeping: counting
+        every un-retired program as busy held the flag up for a whole
+        window+, which starved monocular keyframe insertion — mono only
+        mints map points at inserts and NeedNewKeyFrame drops mono
+        inserts outright while the mapper is busy (Tracking.cc:1149)."""
+        pend = getattr(self, "_deferred_stats", None)
+        if not pend:
+            return True
+        try:
+            return all(s.is_ready() for s in pend)
+        except AttributeError:          # non-array stand-ins in tests
+            return True
 
     def _mapping_queue_len(self) -> int:
-        return len(getattr(self, "_deferred_stats", None) or [])
+        pend = getattr(self, "_deferred_stats", None) or []
+        try:
+            return sum(0 if s.is_ready() else 1 for s in pend)
+        except AttributeError:
+            return len(pend)
 
     def _counter_args(self):
         c = getattr(self, "_pending_counters", None)

@@ -202,7 +202,9 @@ def in_frustum(cam: Camera, Tcw: jax.Array, pts_w: jax.Array,
     view_cos [...]).
     """
     R, t = lie.mat_to_rt(Tcw)
-    pc = pts_w @ jnp.swapaxes(R, -1, -2) + t
+    # VPU broadcast form of pts @ Rᵀ — exact f32, off the matmul-
+    # precision flag (see lie.transform_points / ops/smallmat.py)
+    pc = jnp.sum(pts_w[..., :, None, :] * R[..., None, :, :], axis=-1) + t
     z = pc[..., 2]
     uv = project(cam, pc)
     ur = uv[..., 0] - cam.bf / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)

@@ -167,9 +167,18 @@ def se3_inv(T: jax.Array) -> jax.Array:
 
 
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
-    """[..., 4, 4] × [..., N, 3] → [..., N, 3]."""
+    """[..., 4, 4] × [..., N, 3] → [..., N, 3].
+
+    Broadcast-multiply-reduce, not ``pts @ Rᵀ``: a 3-wide contraction
+    pads 3→128 MXU lanes and pays the matmul-precision pass multiplier
+    (6× at the framework's "highest" default); the VPU form is exact
+    f32 and precision-flag-independent (ops/smallmat.py)."""
     R, t = mat_to_rt(T)
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    pts = jnp.asarray(pts)
+    if pts.ndim == R.ndim - 1:          # single point per pose: [..., 3]
+        return jnp.sum(pts[..., None, :] * R, axis=-1) + t
+    return (jnp.sum(pts[..., :, None, :] * R[..., None, :, :], axis=-1)
+            + t[..., None, :])
 
 
 # ------------------------------------------------------------- quaternion ----
